@@ -1,0 +1,406 @@
+"""Batched Poisson-factorization objective / gradient / Hessian kernels.
+
+TPU-native replacement for the reference's per-row scalar kernels
+(``calc_fun_single`` / ``calc_grad_single`` / ``calc_grad_single_w`` /
+``calc_fun_and_grad``, /root/reference/src/poismf.c:194-273, and the missing
+``eval_llk`` declared at /root/reference/src/poismf.h:258-269).
+
+The reference walks each row's nonzeros serially, issuing a length-k BLAS dot
+and axpy per nonzero.  Here every evaluation is one fused tensor program over
+the *whole* flat nnz stream:
+
+  * SDDMM:  ``pred[nnz] = <A[row], B[col]>`` - gather + batched dot,
+  * SpMM:   ``segment_sum((x/pred) * B[col])`` - the gradient's data term,
+
+which maps onto TPU gathers + VPU reductions with fully static shapes.  The
+per-row objective is
+
+  ``f_r = <Bsum, a_r> + l2 * ||a_r||^2 - w_mult * sum_i x_ri * log(<a_r, B_i>)``
+
+with ``Bsum = colsums(B) + l1`` (the L1 term folds into Bsum because a >= 0,
+exactly as in the reference).  For weighted entries (``w_mult != 1``) Bsum is
+per-row (see :func:`adjusted_bsum`, mirroring ``adjustment_Bsum``
+poismf.c:85-123).
+
+All kernels accept an optional ``nnz_chunk``: when set, the nnz stream is
+processed in fixed-size chunks under ``lax.scan`` so the ``[nnz, k]`` gather
+intermediates never materialize in HBM at full size - this is the
+memory-bandwidth knob for very large datasets.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..sparse import CountsMatrix
+
+# Guard for log/division at near-zero predictions.  The reference relies on
+# Inf/NaN poisoning line searches instead (nonnegcg.c:223-226); on TPU we keep
+# that behaviour for objective values (log of 0 -> -inf -> f = +inf) but avoid
+# NaN gradients via this floor where division is involved.
+PRED_EPS = 1e-30
+
+
+def _maybe_chunk(nnz_pad: int, nnz_chunk: Optional[int]) -> Optional[int]:
+    if nnz_chunk is None or nnz_chunk >= nnz_pad:
+        return None
+    # chunk must divide the padded length; round up to a divisor via padding
+    # contract: CountsMatrix pads to multiples of 1024, so use multiples too.
+    if nnz_pad % nnz_chunk != 0:
+        raise ValueError(
+            f"nnz_chunk ({nnz_chunk}) must divide padded nnz ({nnz_pad})"
+        )
+    return nnz_chunk
+
+
+def sddmm(A: jnp.ndarray, B: jnp.ndarray, row_ids, col_ids) -> jnp.ndarray:
+    """pred[e] = <A[row_ids[e]], B[col_ids[e]]> (rows out of range -> uses row 0
+    semantics are irrelevant because padding values are 0)."""
+    a = jnp.take(A, jnp.minimum(row_ids, A.shape[0] - 1), axis=0)
+    b = jnp.take(B, col_ids, axis=0)
+    return jnp.sum(a * b, axis=-1)
+
+
+def segment_rowsum(values: jnp.ndarray, row_ids, n_rows_pad: int) -> jnp.ndarray:
+    """Sum per-edge scalars into per-row scalars.  Padding rows (== n_rows_pad)
+    fall into an extra dummy segment that is dropped."""
+    out = jax.ops.segment_sum(
+        values, row_ids, num_segments=n_rows_pad + 1, indices_are_sorted=True
+    )
+    return out[:n_rows_pad]
+
+
+def spmm(
+    weights: jnp.ndarray, B: jnp.ndarray, row_ids, col_ids, n_rows_pad: int
+) -> jnp.ndarray:
+    """out[r] = sum_{e: row(e)=r} weights[e] * B[col(e)]  ->  [n_rows_pad, k]."""
+    contrib = weights[:, None] * jnp.take(B, col_ids, axis=0)
+    out = jax.ops.segment_sum(
+        contrib, row_ids, num_segments=n_rows_pad + 1, indices_are_sorted=True
+    )
+    return out[:n_rows_pad]
+
+
+# ---------------------------------------------------------------------------
+# Fused evaluations over a CountsMatrix
+# ---------------------------------------------------------------------------
+
+
+def poisson_data_terms(
+    A: jnp.ndarray,
+    B: jnp.ndarray,
+    X: CountsMatrix,
+    nnz_chunk: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-row data terms of (f, grad):
+
+    returns ``(neg_llk_data, grad_data)`` where
+      neg_llk_data[r] = - sum_i x_ri * log(pred_ri)              [R_pad]
+      grad_data[r]    = - sum_i (x_ri / pred_ri) * B[i]          [R_pad, k]
+    """
+    R = X.n_rows_pad
+    chunk = _maybe_chunk(X.nnz_pad, nnz_chunk)
+
+    def eval_chunk(row_ids, col_ids, vals):
+        pred = sddmm(A, B, row_ids, col_ids)
+        safe = jnp.maximum(pred, PRED_EPS)
+        # padding entries have vals == 0 -> contribute exactly 0
+        log_term = jnp.where(vals > 0, vals * jnp.log(safe), 0.0)
+        w = jnp.where(vals > 0, vals / safe, 0.0)
+        neg_llk = -segment_rowsum(log_term, row_ids, R)
+        grad = -spmm(w, B, row_ids, col_ids, R)
+        return neg_llk, grad
+
+    if chunk is None:
+        return eval_chunk(X.row_ids, X.col_ids, X.vals)
+
+    n_chunks = X.nnz_pad // chunk
+
+    def body(carry, xs):
+        neg_llk, grad = carry
+        r, c, v = xs
+        nl, g = eval_chunk(r, c, v)
+        return (neg_llk + nl, grad + g), None
+
+    init = (
+        jnp.zeros((R,), dtype=A.dtype),
+        jnp.zeros((R, A.shape[1]), dtype=A.dtype),
+    )
+    xs = (
+        X.row_ids.reshape(n_chunks, chunk),
+        X.col_ids.reshape(n_chunks, chunk),
+        X.vals.reshape(n_chunks, chunk),
+    )
+    (neg_llk, grad), _ = lax.scan(body, init, xs)
+    return neg_llk, grad
+
+
+def poisson_f_data(
+    A: jnp.ndarray,
+    B: jnp.ndarray,
+    X: CountsMatrix,
+    nnz_chunk: Optional[int] = None,
+) -> jnp.ndarray:
+    """Only the per-row ``- sum x log(pred)`` term (for line searches).
+
+    Unlike :func:`poisson_data_terms` this does NOT floor pred: a zero or
+    negative prediction yields ``+inf``, poisoning the trial point exactly like
+    the reference's line search (nonnegcg.c:308 checks isnan/isinf)."""
+    R = X.n_rows_pad
+    chunk = _maybe_chunk(X.nnz_pad, nnz_chunk)
+
+    def eval_chunk(row_ids, col_ids, vals):
+        pred = sddmm(A, B, row_ids, col_ids)
+        log_term = jnp.where(vals > 0, vals * jnp.log(pred), 0.0)
+        return -segment_rowsum(log_term, row_ids, R)
+
+    if chunk is None:
+        return eval_chunk(X.row_ids, X.col_ids, X.vals)
+
+    n_chunks = X.nnz_pad // chunk
+
+    def body(carry, xs):
+        r, c, v = xs
+        return carry + eval_chunk(r, c, v), None
+
+    out, _ = lax.scan(body, jnp.zeros((R,), dtype=A.dtype), (
+        X.row_ids.reshape(n_chunks, chunk),
+        X.col_ids.reshape(n_chunks, chunk),
+        X.vals.reshape(n_chunks, chunk),
+    ))
+    return out
+
+
+def poisson_fg(
+    A: jnp.ndarray,
+    B: jnp.ndarray,
+    X: CountsMatrix,
+    Bsum: jnp.ndarray,
+    l2_reg: float,
+    w_mult: float = 1.0,
+    nnz_chunk: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused per-row objective and gradient for ALL rows at once.
+
+    ``Bsum`` is either ``[k]`` (shared; already includes l1) or ``[R_pad, k]``
+    (per-row, for w_mult != 1 - see :func:`adjusted_bsum`).
+
+    Equivalent of calc_fun_and_grad (poismf.c:242-273) vmapped over rows.
+    """
+    neg_llk, grad_data = poisson_data_terms(A, B, X, nnz_chunk)
+    if w_mult != 1.0:
+        neg_llk = w_mult * neg_llk
+        grad_data = w_mult * grad_data
+    if Bsum.ndim == 1:
+        lin = A @ Bsum
+        g_lin = Bsum[None, :]
+    else:
+        lin = jnp.sum(A * Bsum, axis=-1)
+        g_lin = Bsum
+    f = lin + l2_reg * jnp.sum(A * A, axis=-1) + neg_llk
+    g = g_lin + 2.0 * l2_reg * A + grad_data
+    return f, g
+
+
+def poisson_f(
+    A: jnp.ndarray,
+    B: jnp.ndarray,
+    X: CountsMatrix,
+    Bsum: jnp.ndarray,
+    l2_reg: float,
+    w_mult: float = 1.0,
+    nnz_chunk: Optional[int] = None,
+) -> jnp.ndarray:
+    """Per-row objective only (calc_fun_single, poismf.c:194-208, batched).
+
+    Returns +inf for rows whose trial point has a non-positive prediction at a
+    positive count (matching the reference's Inf-poisoned line search)."""
+    neg_llk = poisson_f_data(A, B, X, nnz_chunk)
+    if w_mult != 1.0:
+        neg_llk = w_mult * neg_llk
+    if Bsum.ndim == 1:
+        lin = A @ Bsum
+    else:
+        lin = jnp.sum(A * Bsum, axis=-1)
+    return lin + l2_reg * jnp.sum(A * A, axis=-1) + neg_llk
+
+
+def poisson_hvp_weights(
+    A: jnp.ndarray,
+    B: jnp.ndarray,
+    X: CountsMatrix,
+    w_mult: float = 1.0,
+) -> jnp.ndarray:
+    """Cache ``w2[e] = w_mult * x_e / pred_e^2`` for Hessian-vector products
+    at a fixed iterate A.  One SDDMM; reused across all inner-CG HVPs."""
+    pred = sddmm(A, B, X.row_ids, X.col_ids)
+    safe = jnp.maximum(pred, PRED_EPS)
+    return jnp.where(X.vals > 0, w_mult * X.vals / (safe * safe), 0.0)
+
+
+def poisson_hvp(
+    V: jnp.ndarray,
+    B: jnp.ndarray,
+    X: CountsMatrix,
+    w2: jnp.ndarray,
+    l2_reg: float,
+    nnz_chunk: Optional[int] = None,
+) -> jnp.ndarray:
+    """Exact batched Hessian-vector product: for each row r,
+
+      (H_r v_r) = 2*l2*v_r + sum_i w2_ri * <B_i, v_r> * B_i
+
+    Replaces the reference's finite-difference Hv (tnc.c:1388-1435), which
+    costs a full extra function evaluation and is inexact.  Here an HVP is one
+    SDDMM + one SpMM with the cached ``w2`` weights - no log/exp at all.
+    """
+    R = X.n_rows_pad
+    chunk = _maybe_chunk(X.nnz_pad, nnz_chunk)
+
+    def eval_chunk(row_ids, col_ids, w2c):
+        bv = sddmm(V, B, row_ids, col_ids)  # <B_col, v_row> per edge
+        return spmm(w2c * bv, B, row_ids, col_ids, R)
+
+    if chunk is None:
+        data = eval_chunk(X.row_ids, X.col_ids, w2)
+    else:
+        n_chunks = X.nnz_pad // chunk
+
+        def body(carry, xs):
+            r, c, w = xs
+            return carry + eval_chunk(r, c, w), None
+
+        data, _ = lax.scan(
+            body,
+            jnp.zeros((R, V.shape[1]), dtype=V.dtype),
+            (
+                X.row_ids.reshape(n_chunks, chunk),
+                X.col_ids.reshape(n_chunks, chunk),
+                w2.reshape(n_chunks, chunk),
+            ),
+        )
+    return 2.0 * l2_reg * V + data
+
+
+def poisson_hess_diag(
+    B: jnp.ndarray,
+    X: CountsMatrix,
+    w2: jnp.ndarray,
+    l2_reg: float,
+    nnz_chunk: Optional[int] = None,
+) -> jnp.ndarray:
+    """Per-row Hessian diagonal: 2*l2 + sum_i w2_ri * B_i^2  ->  [R_pad, k].
+
+    Used as the inner-CG Jacobi preconditioner (the TPU-friendly stand-in for
+    the reference's SSBFGS diagonal preconditioner, tnc.c:1444-1658)."""
+    R = X.n_rows_pad
+    chunk = _maybe_chunk(X.nnz_pad, nnz_chunk)
+
+    def eval_chunk(row_ids, col_ids, w2c):
+        b = jnp.take(B, col_ids, axis=0)
+        contrib = w2c[:, None] * (b * b)
+        out = jax.ops.segment_sum(
+            contrib, row_ids, num_segments=R + 1, indices_are_sorted=True
+        )
+        return out[:R]
+
+    if chunk is None:
+        data = eval_chunk(X.row_ids, X.col_ids, w2)
+    else:
+        n_chunks = X.nnz_pad // chunk
+
+        def body(carry, xs):
+            r, c, w = xs
+            return carry + eval_chunk(r, c, w), None
+
+        data, _ = lax.scan(
+            body,
+            jnp.zeros((R, B.shape[1]), dtype=B.dtype),
+            (
+                X.row_ids.reshape(n_chunks, chunk),
+                X.col_ids.reshape(n_chunks, chunk),
+                w2.reshape(n_chunks, chunk),
+            ),
+        )
+    return 2.0 * l2_reg + data
+
+
+# ---------------------------------------------------------------------------
+# Bsum machinery
+# ---------------------------------------------------------------------------
+
+
+def make_bsum(M: jnp.ndarray, n_rows: int, l1_reg: float) -> jnp.ndarray:
+    """colsums of the fixed matrix + l1  (sum_by_cols + l1 shift,
+    poismf.c:512-514).  ``n_rows`` masks padded rows out of the sum."""
+    if M.shape[0] != n_rows:
+        M = M[:n_rows]
+    return jnp.sum(M, axis=0) + l1_reg
+
+
+def adjusted_bsum(
+    B: jnp.ndarray,
+    Bsum: jnp.ndarray,
+    X: CountsMatrix,
+    w_mult: float,
+) -> jnp.ndarray:
+    """Per-row weighted Bsum: ``Bsum + (w_mult - 1) * sum_{i in nnz(r)} B_i``
+    (adjustment_Bsum, poismf.c:85-123).  Returns [R_pad, k]."""
+    ones = jnp.where(X.vals > 0, jnp.ones_like(X.vals), 0.0)
+    row_b = spmm(ones, B, X.row_ids, X.col_ids, X.n_rows_pad)
+    return Bsum[None, :] + (w_mult - 1.0) * row_b
+
+
+# ---------------------------------------------------------------------------
+# Poisson log-likelihood evaluation (the reference declares eval_llk at
+# poismf.h:258-269 but never defines it; implemented for real here).
+# ---------------------------------------------------------------------------
+
+
+def eval_llk_entries(
+    A: jnp.ndarray,
+    B: jnp.ndarray,
+    row_ids,
+    col_ids,
+    vals,
+    full_llk: bool = False,
+) -> jnp.ndarray:
+    """Sum over given entries of the Poisson log-likelihood
+    ``x*log(pred) - pred`` (minus ``lgamma(x+1)`` when ``full_llk``)."""
+    pred = sddmm(A, B, row_ids, col_ids)
+    safe = jnp.maximum(pred, PRED_EPS)
+    valid = vals > 0
+    ll = jnp.where(valid, vals * jnp.log(safe) - pred, 0.0)
+    if full_llk:
+        ll = ll - jnp.where(valid, lax.lgamma(vals + 1.0), 0.0)
+    return jnp.sum(ll)
+
+
+def eval_llk(
+    A: jnp.ndarray,
+    B: jnp.ndarray,
+    X: CountsMatrix,
+    full_llk: bool = False,
+    include_missing: bool = False,
+) -> jnp.ndarray:
+    """Poisson LL over the entries of X; with ``include_missing``, the
+    ``-pred`` term extends over ALL user-item pairs, computed in O((m+n)k) via
+    ``<colsum(A), colsum(B)>`` instead of materializing A @ B^T."""
+    pred = sddmm(A, B, X.row_ids, X.col_ids)
+    safe = jnp.maximum(pred, PRED_EPS)
+    valid = X.vals > 0
+    if include_missing:
+        ll = jnp.sum(jnp.where(valid, X.vals * jnp.log(safe), 0.0))
+        ll = ll - jnp.dot(
+            jnp.sum(A[: X.n_rows], axis=0), jnp.sum(B[: X.n_cols], axis=0)
+        )
+    else:
+        ll = jnp.sum(jnp.where(valid, X.vals * jnp.log(safe) - pred, 0.0))
+    if full_llk:
+        ll = ll - jnp.sum(jnp.where(valid, lax.lgamma(X.vals + 1.0), 0.0))
+    return ll

@@ -1,0 +1,41 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh so the
+pjit/shard_map paths are exercised without TPU hardware (SURVEY.md section 4d).
+
+Must set the flags BEFORE jax initializes its backends.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(seed=1)
+
+
+def synth_counts(rng, n_users=100, n_items=40, density=0.1):
+    """Small synthetic counts matrix in triplet form (like the reference's
+    R-example synthetic data, R/poismf.R:172-218)."""
+    nnz = int(n_users * n_items * density)
+    rows = rng.integers(0, n_users, size=nnz)
+    cols = rng.integers(0, n_items, size=nnz)
+    # dedupe
+    key = rows.astype(np.int64) * n_items + cols
+    _, idx = np.unique(key, return_index=True)
+    rows, cols = rows[idx], cols[idx]
+    vals = rng.poisson(3.0, size=rows.shape[0]) + 1.0
+    return rows.astype(np.int32), cols.astype(np.int32), vals.astype(np.float64)
+
+
+@pytest.fixture
+def small_problem(rng):
+    return synth_counts(rng)
