@@ -153,11 +153,11 @@ def test_eval_llk(rng):
     pred = np.sum(A[rows] * B[cols], axis=1)
     ll_ref = np.sum(vals * np.log(pred) - pred)
     ll = obj.eval_llk(jnp.asarray(A_pad), jnp.asarray(B), X)
-    assert np.isclose(float(ll), ll_ref, rtol=1e-4)
+    assert np.isclose(float(ll), ll_ref, rtol=1e-3, atol=0.1)
 
     ll_full_ref = ll_ref - np.sum(gammaln(vals + 1.0))
     ll_full = obj.eval_llk(jnp.asarray(A_pad), jnp.asarray(B), X, full_llk=True)
-    assert np.isclose(float(ll_full), ll_full_ref, rtol=1e-4)
+    assert np.isclose(float(ll_full), ll_full_ref, rtol=1e-3, atol=0.1)
 
     ll_miss_ref = np.sum(vals * np.log(pred)) - A.sum(0) @ B.sum(0)
     ll_miss = obj.eval_llk(
