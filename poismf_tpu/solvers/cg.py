@@ -1,0 +1,194 @@
+"""Batched non-negative conjugate gradient solver (Li 2013 modified PRP).
+
+TPU-native equivalent of ``minimize_nonneg_cg``
+(/root/reference/src/nonnegcg.c:177-346) as driven by ``cg_iteration``
+(/root/reference/src/poismf.c:275-322).  The reference optimizes one row at a
+time; here ALL rows run the CG iteration simultaneously, with per-row masks
+replacing per-row early exits:
+
+  * capped direction  d_i = (x_i <= 0 and g_i >= 0) ? 0 : -g_i
+    (nonnegcg.c:236-239),
+  * beta / theta Polak-Ribiere-style corrections masked on the active set
+    (:243-261),
+  * stop when |<g, d>| <= tol (:264-269),
+  * step cap: with ``limit_step`` at most ~1 variable hits zero per step
+    (:272-288), else 0.99x the largest zero-crossing step,
+  * Armijo-like backtracking with clamp-to-zero (:290-327),
+  * hard-wired driver constants tol=1e-2, maxnfeval=150, decr=0.25, c=0.01,
+    max_ls=20 (poismf.c:315-320).
+
+Function-evaluation accounting matches the reference: the initial evaluation
+counts 1, and each *unsuccessful* line-search trial counts 1 (nonnegcg.c:316
+increments only after the acceptance check).
+
+Known deliberate deviation: when a row exhausts all line-search trials without
+acceptance, the reference continues iterating but overwrites the row's current
+objective value with that of the last (rejected, possibly worse) trial point
+(nonnegcg.c:328 runs even without a break).  We keep the true objective of the
+unchanged iterate instead - strictly safer and monotone.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..sparse import CountsMatrix
+from ..ops import objective as obj
+
+EPS_LIMIT = 1e-15  # nonnegcg.c:94 clamp threshold under limit_step
+CG_TOL = 1e-2
+CG_MAXNFEVAL = 150
+CG_DECR = 0.25
+CG_LNSRCH_C = 0.01
+CG_MAX_LS = 20
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("maxupd", "limit_step", "w_mult", "nnz_chunk",
+                     "maxnfeval"),
+)
+def cg_update(
+    A: jnp.ndarray,
+    B: jnp.ndarray,
+    X: CountsMatrix,
+    Bsum: jnp.ndarray,
+    *,
+    l2_reg: float,
+    w_mult: float = 1.0,
+    maxupd: int = 5,
+    limit_step: bool = True,
+    nnz_chunk: Optional[int] = None,
+    maxnfeval: int = CG_MAXNFEVAL,
+) -> jnp.ndarray:
+    """Run up to ``maxupd`` batched CG iterations on every row of A."""
+    R, k = A.shape
+    dtype = A.dtype
+    l2 = jnp.asarray(l2_reg, dtype=dtype)
+
+    def fg(Acur):
+        return obj.poisson_fg(Acur, B, X, Bsum, l2_reg, w_mult, nnz_chunk)
+
+    def f_only(Acur):
+        return obj.poisson_f(Acur, B, X, Bsum, l2_reg, w_mult, nnz_chunk)
+
+    has_nnz = X.row_nnz > 0
+    x0 = jnp.where(has_nnz[:, None], A, 0.0)
+
+    f0 = f_only(x0)
+    nfeval0 = jnp.ones((R,), dtype=jnp.int32)
+    # rows with nan/inf initial objective terminate immediately
+    # (nonnegcg.c:223-226); rows with no nonzeros are done (zeroed) already
+    active0 = has_nnz & jnp.isfinite(f0)
+
+    state0 = dict(
+        x=x0,
+        f=f0,
+        it=jnp.zeros((), dtype=jnp.int32),
+        grad_prev=jnp.zeros_like(x0),
+        dir_prev=jnp.zeros_like(x0),
+        gnorm_prev=jnp.ones((R,), dtype=dtype),
+        nfeval=nfeval0,
+        active=active0,
+    )
+
+    def cond(s):
+        return (s["it"] < maxupd) & jnp.any(s["active"])
+
+    def body(s):
+        x, f, active = s["x"], s["f"], s["active"]
+        _, g = fg(x)
+
+        nonpos = x <= 0.0
+        d = jnp.where(nonpos & (g >= 0.0), 0.0, -g)
+
+        def with_prp(d):
+            free = ~nonpos  # x_i > 0
+            gp, dp = s["grad_prev"], s["dir_prev"]
+            gn = s["gnorm_prev"]
+            theta = jnp.sum(jnp.where(free, g * dp, 0.0), axis=1) / gn
+            beta = jnp.sum(jnp.where(free, g * (g - gp), 0.0), axis=1) / gn
+            corr = beta[:, None] * dp - theta[:, None] * (g - gp)
+            return d + jnp.where(free, corr, 0.0)
+
+        d = lax.cond(s["it"] > 0, with_prp, lambda d: d, d)
+
+        prod_gd = jnp.sum(g * d, axis=1)
+        converged_now = jnp.abs(prod_gd) <= CG_TOL
+        active = active & ~converged_now
+
+        # maximum step (per row)
+        neg = d < 0.0
+        ratios = jnp.where(neg, -x / jnp.where(neg, d, -1.0), 0.0)
+        if limit_step:
+            cap = jnp.where(neg, ratios, jnp.inf).min(axis=1)
+            max_step = jnp.minimum(1.0, cap)
+        else:
+            cap = jnp.where(neg, ratios, 0.0).max(axis=1)
+            max_step = jnp.minimum(1.0, 0.99 * cap)
+
+        dnorm_sq = jnp.sum(d * d, axis=1)
+
+        # ---- batched backtracking line search ----
+        ls0 = dict(
+            step=max_step,
+            found=jnp.zeros((R,), dtype=bool),
+            x_new=x,
+            f_new=f,
+            searching=active,
+            nfeval=s["nfeval"],
+            ls=jnp.zeros((), dtype=jnp.int32),
+        )
+
+        def ls_cond(t):
+            return (t["ls"] < CG_MAX_LS) & jnp.any(t["searching"])
+
+        def ls_body(t):
+            trial = x + t["step"][:, None] * d
+            if limit_step:
+                trial = jnp.where(trial >= EPS_LIMIT, trial, 0.0)
+            else:
+                trial = jnp.maximum(trial, 0.0)
+            f_trial = f_only(trial)
+            ok = (
+                jnp.isfinite(f_trial)
+                & (f_trial <= f - CG_LNSRCH_C * t["step"] * dnorm_sq)
+            )
+            accept = t["searching"] & ok
+            x_new = jnp.where(accept[:, None], trial, t["x_new"])
+            f_new = jnp.where(accept, f_trial, t["f_new"])
+            found = t["found"] | accept
+            rejected = t["searching"] & ~ok
+            nfeval = t["nfeval"] + rejected.astype(jnp.int32)
+            searching = rejected & (nfeval < maxnfeval)
+            step = jnp.where(rejected, t["step"] * CG_DECR, t["step"])
+            return dict(
+                step=step, found=found, x_new=x_new, f_new=f_new,
+                searching=searching, nfeval=nfeval, ls=t["ls"] + 1,
+            )
+
+        ls = lax.while_loop(ls_cond, ls_body, ls0)
+
+        x_next = jnp.where(ls["found"][:, None], ls["x_new"], x)
+        f_next = jnp.where(ls["found"], ls["f_new"], f)
+        # rows that ran out of the nfeval budget terminate (stop_maxnfeval)
+        active = active & (ls["nfeval"] < maxnfeval)
+
+        return dict(
+            x=x_next,
+            f=f_next,
+            it=s["it"] + 1,
+            grad_prev=g,
+            dir_prev=d,
+            gnorm_prev=jnp.maximum(jnp.sum(g * g, axis=1), 1e-30),
+            nfeval=ls["nfeval"],
+            active=active,
+        )
+
+    out = lax.while_loop(cond, body, state0)
+    return out["x"]

@@ -1,0 +1,101 @@
+"""Batched proximal-gradient solver.
+
+TPU-native equivalent of ``pg_iteration`` + ``calc_grad_pgd``
+(/root/reference/src/poismf.c:126-188).  The reference loops rows under OpenMP
+and nonzeros under BLAS; here ALL rows take their ``maxupd`` PG steps together
+as one jitted ``lax.fori_loop`` of SDDMM + SpMM sweeps.
+
+Per step (for each row a with nonzeros (cols, x)):
+
+    a <- max(0, (a + step * sum_i (x_i / <a, B_i>) * B_i - step * Bsum)
+                 / (1 + 2 * l2 * step))
+
+with ``step = step_size * w_mult`` and ``Bsum`` per-row when weighted.  Rows
+with no nonzeros are zeroed (poismf.c:166-169).
+
+Note: the reference's A-side update scales ``cnst_sum`` by ``-step`` twice when
+``w_mult == 1`` (poismf.c:573-577) - a sign/scale bug flagged in SURVEY.md
+section 3.1.  We implement the mathematically consistent single scaling, which
+matches the reference's own B-side update and its out-of-sample PG path
+(pred.c:154-161).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..sparse import CountsMatrix
+from ..ops.objective import spmm, sddmm, PRED_EPS
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("maxupd", "w_mult", "nnz_chunk"),
+)
+def pg_update(
+    A: jnp.ndarray,
+    B: jnp.ndarray,
+    X: CountsMatrix,
+    Bsum: jnp.ndarray,
+    l2_reg: jnp.ndarray,
+    step_size: jnp.ndarray,
+    *,
+    w_mult: float = 1.0,
+    maxupd: int = 10,
+    nnz_chunk: Optional[int] = None,
+) -> jnp.ndarray:
+    """Run ``maxupd`` batched PG steps updating A (rows of X) with B fixed.
+
+    ``Bsum`` is [k] (shared, incl. l1) or [R_pad, k] (weighted per-row).
+    ``l2_reg``/``step_size`` are traced scalars (the step halves per epoch,
+    poismf.c:532 - keeping it traced avoids a recompile per epoch).
+    Returns the updated A of shape [R_pad, k].
+    """
+    R = X.n_rows_pad
+    step = step_size * w_mult  # poismf.c:151
+    cnst_div = 1.0 / (1.0 + 2.0 * l2_reg * step_size)  # poismf.c:511
+    if Bsum.ndim == 1:
+        step_bsum = step_size * Bsum[None, :]
+    else:
+        step_bsum = step_size * Bsum
+
+    def grad_part(Acur):
+        # sum_i (x_i / pred_i) * B_i per row, chunked if requested
+        if nnz_chunk is None or nnz_chunk >= X.nnz_pad:
+            pred = sddmm(Acur, B, X.row_ids, X.col_ids)
+            w = jnp.where(
+                X.vals > 0, X.vals / jnp.maximum(pred, PRED_EPS), 0.0
+            )
+            return spmm(w, B, X.row_ids, X.col_ids, R)
+        n_chunks = X.nnz_pad // nnz_chunk
+
+        def body(carry, xs):
+            r, c, v = xs
+            pred = sddmm(Acur, B, r, c)
+            w = jnp.where(v > 0, v / jnp.maximum(pred, PRED_EPS), 0.0)
+            return carry + spmm(w, B, r, c, R), None
+
+        out, _ = lax.scan(
+            body,
+            jnp.zeros((R, Acur.shape[1]), dtype=Acur.dtype),
+            (
+                X.row_ids.reshape(n_chunks, nnz_chunk),
+                X.col_ids.reshape(n_chunks, nnz_chunk),
+                X.vals.reshape(n_chunks, nnz_chunk),
+            ),
+        )
+        return out
+
+    def one_step(_, Acur):
+        gp = grad_part(Acur)
+        Anew = (Acur + step * gp - step_bsum) * cnst_div
+        return jnp.maximum(Anew, 0.0)
+
+    A = lax.fori_loop(0, maxupd, one_step, A)
+    # rows with no nonzeros are zeroed (poismf.c:166-169)
+    return jnp.where((X.row_nnz > 0)[:, None], A, 0.0)

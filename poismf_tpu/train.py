@@ -1,0 +1,194 @@
+"""Alternating-optimization training driver.
+
+TPU-native equivalent of ``run_poismf`` (/root/reference/src/poismf.c:435-632):
+per epoch, update B holding A fixed (by-item orientation), then update A
+holding B fixed (by-user orientation).  Each half-update is one jitted batched
+solver call over ALL rows; the "OpenMP join barrier" of the reference maps to
+the data dependency between the two calls.
+
+Semantics carried over (with citations):
+  * ``Bsum = colsums(fixed) + l1`` recomputed before each half-update
+    (poismf.c:512-514, 562-564),
+  * weighted per-row Bsum when ``w_mult != 1`` (adjustment_Bsum, :85-123),
+  * PG step-size halving per epoch after both sides (:532),
+  * TNCG early stop when >= 95% of rows move by <= 1e-4 in squared L2 on
+    both sides (:393-403, 606-607),
+  * KeyboardInterrupt between epochs leaves a usable partial model
+    (the SIGINT machinery of :42-52, 444-455; here the natural host-side
+    boundary is the end of a jitted epoch).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .sparse import CountsMatrix
+from .ops import objective as obj
+from .solvers.pg import pg_update
+
+METHODS = ("tncg", "cg", "pg")
+
+
+@dataclasses.dataclass
+class FitParams:
+    """Hyperparameters, with the same "auto" tables as the reference
+    (poismf/__init__.py:249-255)."""
+
+    k: int = 50
+    method: str = "tncg"
+    l2_reg: float = "auto"  # type: ignore[assignment]
+    l1_reg: float = 0.0
+    niter: int = "auto"  # type: ignore[assignment]
+    maxupd: int = "auto"  # type: ignore[assignment]
+    limit_step: bool = True
+    initial_step: float = 1e-7
+    early_stop: bool = True
+    reuse_prev: bool = False
+    w_mult: float = 1.0
+    nnz_chunk: Optional[int] = None
+
+    def resolved(self) -> "FitParams":
+        p = dataclasses.replace(self)
+        if p.method not in METHODS:
+            raise ValueError(f"method must be one of {METHODS}")
+        if p.l2_reg == "auto":
+            p.l2_reg = {"tncg": 1e3, "cg": 1e4, "pg": 1e9}[p.method]
+        if p.maxupd == "auto":
+            p.maxupd = {"tncg": 15 * p.k, "cg": 5, "pg": 10}[p.method]
+        if p.niter == "auto":
+            p.niter = {"tncg": 10, "cg": 30, "pg": 10}[p.method]
+        assert p.k > 0 and p.niter >= 1 and p.maxupd >= 1
+        assert p.l2_reg >= 0 and p.l1_reg >= 0
+        assert p.initial_step > 0 and p.w_mult > 0
+        p.l2_reg = float(p.l2_reg)
+        p.l1_reg = float(p.l1_reg)
+        return p
+
+
+def initialize_factors(
+    n_rows: int, n_rows_pad: int, k: int, seed, dtype=np.float32
+) -> jnp.ndarray:
+    """A, B ~ 0.3 + U(0, 0.01) - the HPF-style init of the reference
+    (poismf/__init__.py:419-425); padded rows stay exactly zero."""
+    rng = (
+        seed
+        if isinstance(seed, np.random.Generator)
+        else np.random.default_rng(seed)
+    )
+    M = np.zeros((n_rows_pad, k), dtype=dtype)
+    M[:n_rows] = 0.3 + rng.uniform(0.0, 0.01, size=(n_rows, k))
+    return jnp.asarray(M)
+
+
+def _half_update(
+    target: jnp.ndarray,
+    fixed: jnp.ndarray,
+    X: CountsMatrix,
+    fixed_n_rows: int,
+    p: FitParams,
+    step_size: float,
+    early_stop: bool,
+) -> Tuple[jnp.ndarray, bool]:
+    """One half-iteration: optimize ``target`` rows against ``fixed``.
+
+    Returns (new_target, converged_flag)."""
+    Bsum = obj.make_bsum(fixed, fixed_n_rows, p.l1_reg)
+    if p.w_mult != 1.0:
+        Bsum = obj.adjusted_bsum(fixed, Bsum, X, p.w_mult)
+
+    if p.method == "pg":
+        new = pg_update(
+            target,
+            fixed,
+            X,
+            Bsum,
+            jnp.asarray(p.l2_reg, dtype=target.dtype),
+            jnp.asarray(step_size, dtype=target.dtype),
+            w_mult=p.w_mult,
+            maxupd=p.maxupd,
+            nnz_chunk=p.nnz_chunk,
+        )
+        return new, False
+    elif p.method == "cg":
+        from .solvers.cg import cg_update
+
+        new = cg_update(
+            target,
+            fixed,
+            X,
+            Bsum,
+            l2_reg=p.l2_reg,
+            w_mult=p.w_mult,
+            maxupd=p.maxupd,
+            limit_step=p.limit_step,
+            nnz_chunk=p.nnz_chunk,
+        )
+        return new, False
+    elif p.method == "tncg":
+        from .solvers.tncg import tncg_update
+
+        new, share_unchanged = tncg_update(
+            target,
+            fixed,
+            X,
+            Bsum,
+            l2_reg=p.l2_reg,
+            w_mult=p.w_mult,
+            maxupd=p.maxupd,
+            reuse_prev=p.reuse_prev,
+            track_unchanged=early_stop,
+            nnz_chunk=p.nnz_chunk,
+        )
+        converged = bool(share_unchanged >= 0.95) if early_stop else False
+        return new, converged
+    raise ValueError(p.method)
+
+
+def run_poismf(
+    A: jnp.ndarray,
+    B: jnp.ndarray,
+    by_user: CountsMatrix,
+    by_item: CountsMatrix,
+    params: FitParams,
+    handle_interrupt: bool = True,
+    callback: Optional[Callable[[int, jnp.ndarray, jnp.ndarray], None]] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, int]:
+    """Alternating driver.  A: [n_users_pad, k], B: [n_items_pad, k].
+
+    Returns (A, B, status) with status 0 = success, 2 = interrupted
+    (mirroring the reference's return codes; OOM surfaces as a JAX error).
+    """
+    p = params.resolved()
+    n_users, n_items = by_user.n_rows, by_item.n_rows
+    step_size = p.initial_step
+    status = 0
+    converged_A = converged_B = False
+
+    try:
+        for epoch in range(p.niter):
+            if not converged_B:
+                B, converged_B = _half_update(
+                    B, A, by_item, n_users, p, step_size, p.early_stop
+                )
+            if not converged_A:
+                A, converged_A = _half_update(
+                    A, B, by_user, n_items, p, step_size, p.early_stop
+                )
+            if p.method == "pg":
+                step_size *= 0.5  # poismf.c:532
+            if callback is not None:
+                callback(epoch, A, B)
+            if p.method == "tncg" and converged_A and converged_B:
+                break
+    except KeyboardInterrupt:
+        # partial results remain usable, like the reference's SIGINT path
+        status = 2
+        jax.block_until_ready((A, B))
+        if not handle_interrupt:
+            raise
+    return A, B, status
