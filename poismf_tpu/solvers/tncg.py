@@ -1,0 +1,286 @@
+"""Batched truncated-Newton (TNCG) solver with exact Hessian-vector products.
+
+TPU-native redesign of the reference's per-row Nash TNBC truncated Newton
+(``tnc`` / ``tnc_minimize``, /root/reference/src/tnc.c:251-993, driven by
+``tncg_iteration`` poismf.c:324-404).  This is NOT a port: the reference's
+per-row adaptive control flow (variable scaling, f-rescaling, SSBFGS
+preconditioner state machine, Gill-Murray cubic line search) exists to cope
+with finite-difference Hessian-vector products and scalar execution.  On TPU
+we solve ALL rows at once and replace each piece with its batched,
+fixed-shape equivalent:
+
+  reference (tnc.c)                       this implementation
+  -------------------------------------   ----------------------------------
+  Hv by gradient finite differences       exact HVP: H_r v = 2*l2*v +
+    (hessianTimesVector :1388-1435,         sum_i (x_i/pred_i^2) <B_i,v> B_i
+    1 extra f/g eval per Hv)                (one SDDMM + SpMM, no log/exp)
+  active-set pivots for low=0             per-coordinate mask
+    (setConstraints :512-545 etc.)          fixed = (x<=0) & (g>0)
+  inner preconditioned CG, maxCGit =      batched masked CG, same maxCGit
+    clamp(k/2,1,50) (:1162-1341)            clamp, eta=0.25 forcing term,
+                                            negative-curvature truncation
+  2-step SSBFGS diagonal preconditioner   exact Hessian diagonal (Jacobi)
+    (msolve :1444-1528)                     2*l2 + sum_i w2_i B_ik^2
+  Gill-Murray cubic line search           projected-Armijo backtracking
+    (linearSearch :1664-1813)               x(a) = max(0, x + a*d)
+  convergence |df|<=ftol, |dx|<=xtol,     same tests, batched per row
+    |pg|<=pgtol (:699-712, 909-929)
+  maxnfeval budget (= maxupd)             same accounting: +1 per f/g eval,
+                                            +1 per HVP, +1 per LS trial
+
+Exact zeros (the headline >90% factor sparsity) come from the projection
+``max(0, .)`` plus the fixed-set mask, mirroring the reference's clamp
+(coercex tnc.c:465-479) and active-set projection (:1015-1023).
+
+``reuse_prev`` / init-to-1e-3 and zero-ing of empty rows follow
+poismf.c:367-381; the >=95%-rows-unchanged early-stop statistic follows
+poismf.c:393-403.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..sparse import CountsMatrix
+from ..ops import objective as obj
+
+# Constants from the reference call sites (poismf.c:383-391, tnc.c:401-436)
+TNC_FTOL = 1e-4  # explicit at poismf.c:388
+TNC_ETA = 0.25  # CG forcing / line-search eta
+LS_DECR = 0.5
+LS_C1 = 1e-4
+MAX_LS = 12
+
+
+def _maxcgit(k: int) -> int:
+    # maxCGit = clamp(k/2, 1, 50)  (poismf.c:342)
+    return int(min(50.0, max(1.0, k / 2.0)))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "maxupd",
+        "w_mult",
+        "reuse_prev",
+        "track_unchanged",
+        "nnz_chunk",
+        "max_outer",
+    ),
+)
+def tncg_update(
+    A: jnp.ndarray,
+    B: jnp.ndarray,
+    X: CountsMatrix,
+    Bsum: jnp.ndarray,
+    *,
+    l2_reg: float,
+    w_mult: float = 1.0,
+    maxupd: int = 750,
+    reuse_prev: bool = False,
+    track_unchanged: bool = False,
+    nnz_chunk: Optional[int] = None,
+    max_outer: int = 0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One TNCG pass over every row of A (B fixed).
+
+    Returns ``(A_new, share_unchanged)`` where ``share_unchanged`` is the
+    fraction of true rows whose squared change is <= 1e-4 (for the
+    early-stop rule; 0.0 when ``track_unchanged`` is False).
+    """
+    R, k = A.shape
+    dtype = A.dtype
+    maxcg = _maxcgit(k)
+    if max_outer <= 0:
+        # each outer iteration costs >= 3 evals (grad + >=1 HVP + >=1 trial);
+        # cap keeps the while_loop bounded for tiny maxupd values
+        max_outer = max(4, maxupd // 3)
+
+    import numpy as _np
+
+    rteps = float(_np.sqrt(_np.finfo(_np.dtype(str(dtype))).eps))
+    pgtol = 1e-2 * (rteps ** 0.5)  # tnc.c:431-433 with accuracy=rteps
+    xtol = rteps
+
+    def fg(Acur):
+        return obj.poisson_fg(Acur, B, X, Bsum, l2_reg, w_mult, nnz_chunk)
+
+    def f_only(Acur):
+        return obj.poisson_f(Acur, B, X, Bsum, l2_reg, w_mult, nnz_chunk)
+
+    has_nnz = X.row_nnz > 0
+    if reuse_prev:
+        x0 = jnp.where(has_nnz[:, None], A, 0.0)
+    else:
+        # init to 1e-3 (poismf.c:379-381)
+        x0 = jnp.where(has_nnz[:, None], jnp.full_like(A, 1e-3), 0.0)
+
+    f0, g0 = fg(x0)
+    state0 = dict(
+        x=x0,
+        f=f0,
+        g=g0,
+        nfeval=jnp.ones((R,), dtype=jnp.int32),
+        active=has_nnz & jnp.isfinite(f0),
+        it=jnp.zeros((), dtype=jnp.int32),
+    )
+
+    def cond(s):
+        return (s["it"] < max_outer) & jnp.any(s["active"])
+
+    def body(s):
+        x, f, g, active = s["x"], s["f"], s["g"], s["active"]
+
+        # --- active set & projected gradient ---
+        fixed = (x <= 0.0) & (g > 0.0)
+        pgrad = jnp.where(fixed, 0.0, g)
+        pgnorm = jnp.sqrt(jnp.sum(pgrad * pgrad, axis=1))
+        conv_pg = pgnorm <= pgtol * (1.0 + jnp.abs(f))
+        active = active & ~conv_pg
+
+        # --- Hessian data at x (shared across all HVPs this iteration) ---
+        w2 = obj.poisson_hvp_weights(x, B, X, w_mult)
+        diag = obj.poisson_hess_diag(B, X, w2, l2_reg, nnz_chunk)
+        inv_diag = 1.0 / jnp.maximum(diag, 1e-12)
+
+        def hvp(V):
+            Vm = jnp.where(fixed, 0.0, V)
+            HV = obj.poisson_hvp(Vm, B, X, w2, l2_reg, nnz_chunk)
+            return jnp.where(fixed, 0.0, HV)
+
+        # --- inner preconditioned CG for  H d = -g  on free coordinates ---
+        r = pgrad  # residual of H d + g with d = 0 is g (projected)
+        z = jnp.where(fixed, 0.0, inv_diag * r)
+        p = -z
+        rz = jnp.sum(r * z, axis=1)
+        r0norm = jnp.sum(r * r, axis=1)
+        d0 = jnp.zeros_like(x)
+
+        cg0 = dict(
+            d=d0, r=r, z=z, p=p, rz=rz,
+            run=active & (r0norm > 0.0),
+            hvps=jnp.zeros((R,), dtype=jnp.int32),
+        )
+
+        def cg_body(i, t):
+            Hp = hvp(t["p"])
+            pHp = jnp.sum(t["p"] * Hp, axis=1)
+            pp = jnp.sum(t["p"] * t["p"], axis=1)
+            # negative / tiny curvature -> truncate (use current d; if the
+            # first iteration, fall back to the preconditioned direction)
+            curv_ok = pHp > 1e-12 * jnp.maximum(pp, 1e-30)
+            first = i == 0
+            d_fb = jnp.where(
+                (~curv_ok & t["run"] & first)[:, None], t["p"], t["d"]
+            )
+            alpha = jnp.where(curv_ok, t["rz"] / jnp.where(curv_ok, pHp, 1.0), 0.0)
+            step_mask = (t["run"] & curv_ok)[:, None]
+            d_new = jnp.where(step_mask, t["d"] + alpha[:, None] * t["p"], d_fb)
+            r_new = jnp.where(step_mask, t["r"] + alpha[:, None] * Hp, t["r"])
+            z_new = jnp.where(fixed, 0.0, inv_diag * r_new)
+            rz_new = jnp.sum(r_new * z_new, axis=1)
+            beta = rz_new / jnp.where(t["rz"] > 0, t["rz"], 1.0)
+            p_new = jnp.where(
+                step_mask, -z_new + beta[:, None] * t["p"], t["p"]
+            )
+            rnorm = jnp.sum(r_new * r_new, axis=1)
+            # forcing-term stop: ||r|| <= eta * ||r0||  (quadratic-ish zone)
+            still = t["run"] & curv_ok & (rnorm > (TNC_ETA ** 2) * r0norm)
+            hvps = t["hvps"] + t["run"].astype(jnp.int32)
+            return dict(d=d_new, r=r_new, z=z_new, p=p_new, rz=rz_new,
+                        run=still, hvps=hvps)
+
+        cg = lax.fori_loop(0, maxcg, cg_body, cg0)
+        d = jnp.where(fixed, 0.0, cg["d"])
+
+        # fall back to steepest descent if CG returned junk or ascent
+        gtd = jnp.sum(g * d, axis=1)
+        dnorm = jnp.sum(d * d, axis=1)
+        bad = (~jnp.isfinite(gtd)) | (gtd >= 0.0) | (dnorm <= 0.0)
+        d = jnp.where(bad[:, None], -pgrad, d)
+        gtd = jnp.where(bad, -pgnorm * pgnorm, gtd)
+
+        nfeval = s["nfeval"] + cg["hvps"]
+
+        # --- projected Armijo backtracking line search ---
+        ls0 = dict(
+            alpha=jnp.ones((R,), dtype=dtype),
+            found=jnp.zeros((R,), dtype=bool),
+            x_new=x,
+            f_new=f,
+            searching=active,
+            nfeval=nfeval,
+            t=jnp.zeros((), dtype=jnp.int32),
+        )
+
+        def ls_cond(t):
+            return (t["t"] < MAX_LS) & jnp.any(t["searching"])
+
+        def ls_body(t):
+            trial = jnp.maximum(x + t["alpha"][:, None] * d, 0.0)
+            f_t = f_only(trial)
+            # projected Armijo: decrease vs directional derivative along the
+            # actually-taken (projected) step
+            s_step = trial - x
+            dec = jnp.sum(g * s_step, axis=1)
+            ok = jnp.isfinite(f_t) & (f_t <= f + LS_C1 * dec)
+            accept = t["searching"] & ok
+            x_new = jnp.where(accept[:, None], trial, t["x_new"])
+            f_new = jnp.where(accept, f_t, t["f_new"])
+            nfe = t["nfeval"] + t["searching"].astype(jnp.int32)
+            searching = t["searching"] & ~ok & (nfe < maxupd)
+            alpha = jnp.where(searching, t["alpha"] * LS_DECR, t["alpha"])
+            return dict(alpha=alpha, found=t["found"] | accept, x_new=x_new,
+                        f_new=f_new, searching=searching, nfeval=nfe,
+                        t=t["t"] + 1)
+
+        ls = lax.while_loop(ls_cond, ls_body, ls0)
+
+        moved = ls["found"]
+        x_next = jnp.where(moved[:, None], ls["x_new"], x)
+        f_next = jnp.where(moved, ls["f_new"], f)
+
+        # --- convergence tests (tnc.c:909-929, relative like fscale) ---
+        difnew = f - f_next
+        step_sq = jnp.sum((x_next - x) ** 2, axis=1)
+        conv_f = moved & (jnp.abs(difnew) <= TNC_FTOL * (1.0 + jnp.abs(f_next)))
+        conv_x = moved & (jnp.sqrt(step_sq) <= xtol)
+        ls_fail = active & ~moved  # LSFAIL -> terminate row
+        budget = ls["nfeval"] >= maxupd
+
+        active_next = active & ~conv_f & ~conv_x & ~ls_fail & ~budget
+
+        # gradient at the accepted point (only matters for still-active rows
+        # but computed batched; +1 eval for rows that moved)
+        _, g_next = fg(x_next)
+        nfe = ls["nfeval"] + moved.astype(jnp.int32)
+
+        return dict(
+            x=x_next,
+            f=f_next,
+            g=g_next,
+            nfeval=nfe,
+            active=active_next,
+            it=s["it"] + 1,
+        )
+
+    out = lax.while_loop(cond, body, state0)
+    x_final = out["x"]
+
+    if track_unchanged:
+        # >= 95% of TRUE rows moved by <= 1e-4 (squared L2), poismf.c:393-403.
+        # The reference only counts processed rows (nnz > 0) as unchanged and
+        # divides by dimA; mirror that (padding rows excluded entirely).
+        true_row = jnp.arange(R) < X.n_rows
+        delta = x_final - jnp.where(has_nnz[:, None], A, 0.0)
+        small = (delta * delta).sum(axis=1) <= 1e-4
+        unchanged = jnp.sum(small & has_nnz & true_row)
+        share = unchanged.astype(jnp.float32) / float(max(X.n_rows, 1))
+    else:
+        share = jnp.zeros((), dtype=jnp.float32)
+    return x_final, share
