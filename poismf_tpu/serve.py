@@ -1,0 +1,237 @@
+"""Serving surface: pointwise prediction, top-N ranking, out-of-sample factors.
+
+TPU-native equivalents of /root/reference/src/pred.c and src/topN.c:
+
+  * :func:`predict_pairs`   <->  predict_multiple (pred.c:42-64)
+  * :func:`top_n`           <->  topN (topN.c:112-284)
+  * :func:`factors_multiple`<->  factors_multiple (pred.c:66-199)
+  * :func:`factors_single`  <->  factors_single (pred.c:201-304)
+
+The reference's three topN strategies (include-list dots / exclude-swap /
+gemv + quickselect-argpartition) collapse on TPU into a single pattern:
+matvec (or batched matmul) on the MXU, a -inf scatter for exclusions, and
+``jax.lax.top_k`` - there is no quickselect to port because top_k IS the
+hardware-friendly partial sort.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .sparse import CountsMatrix, build_counts
+from .ops import objective as obj
+from .train import FitParams
+from .solvers.pg import pg_update
+from .solvers.cg import cg_update
+from .solvers.tncg import tncg_update
+
+NEG_INF = -jnp.inf
+
+
+@jax.jit
+def predict_pairs(A: jnp.ndarray, B: jnp.ndarray, ixA: jnp.ndarray,
+                  ixB: jnp.ndarray) -> jnp.ndarray:
+    """out[t] = <A[ixA[t]], B[ixB[t]]> - batched gather + rowwise dot."""
+    return jnp.sum(jnp.take(A, ixA, axis=0) * jnp.take(B, ixB, axis=0),
+                   axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("n_top",))
+def _topn_scores_full(a_vec: jnp.ndarray, B: jnp.ndarray, n_top: int,
+                      exclude_mask: Optional[jnp.ndarray] = None):
+    scores = B @ a_vec  # [n_items] - MXU matvec (gemv of topN.c:219-223)
+    if exclude_mask is not None:
+        scores = jnp.where(exclude_mask, NEG_INF, scores)
+    vals, idx = lax.top_k(scores, n_top)
+    return vals, idx
+
+
+@functools.partial(jax.jit, static_argnames=("n_top",))
+def _topn_include(a_vec: jnp.ndarray, B: jnp.ndarray,
+                  include_ix: jnp.ndarray, n_top: int):
+    scores = jnp.take(B, include_ix, axis=0) @ a_vec
+    vals, pos = lax.top_k(scores, n_top)
+    return vals, jnp.take(include_ix, pos)
+
+
+def top_n(
+    a_vec: jnp.ndarray,
+    B: jnp.ndarray,
+    n_top: int = 10,
+    include_ix: Optional[np.ndarray] = None,
+    exclude_ix: Optional[np.ndarray] = None,
+    n_items: Optional[int] = None,
+    output_score: bool = False,
+):
+    """Top-N highest-score items for one user vector.
+
+    Mirrors topN's validation (topN.c:121-128): include and exclude are
+    mutually exclusive; bounds are checked by the caller (model layer).
+    ``n_items`` masks out padded B rows.
+    """
+    n = B.shape[0] if n_items is None else n_items
+    if include_ix is not None and exclude_ix is not None:
+        raise ValueError("Can pass only one of 'include' or 'exclude'.")
+    if n_top <= 0:
+        raise ValueError("'n_top' must be positive.")
+    if include_ix is not None:
+        include_ix = jnp.asarray(include_ix, dtype=jnp.int32)
+        if n_top > include_ix.shape[0]:
+            raise ValueError("'n_top' is larger than the include list.")
+        vals, idx = _topn_include(a_vec, B, include_ix, n_top)
+    else:
+        mask = None
+        if exclude_ix is not None or B.shape[0] != n:
+            mask = jnp.zeros((B.shape[0],), dtype=bool)
+            if B.shape[0] != n:  # mask padded item rows
+                mask = mask.at[n:].set(True)
+            if exclude_ix is not None:
+                if len(exclude_ix) > n - n_top:
+                    raise ValueError(
+                        "Can't exclude more than n_items - n_top items."
+                    )
+                mask = mask.at[jnp.asarray(exclude_ix, dtype=jnp.int32)].set(
+                    True
+                )
+        if n_top > n:
+            raise ValueError("'n_top' is larger than the number of items.")
+        vals, idx = _topn_scores_full(a_vec, B, n_top, mask)
+    if output_score:
+        return np.asarray(idx), np.asarray(vals)
+    return np.asarray(idx)
+
+
+@functools.partial(jax.jit, static_argnames=("n_top",))
+def top_n_batched(
+    A_query: jnp.ndarray,
+    B: jnp.ndarray,
+    n_top: int,
+    exclude_mask: Optional[jnp.ndarray] = None,
+):
+    """Full-catalog top-N for a BATCH of user vectors: one [Q,k]x[k,n] MXU
+    matmul + top_k.  ``exclude_mask`` is an optional [Q, n_items] bool mask
+    (True = forbidden).  This is the high-throughput serving path with no
+    per-user host round-trips."""
+    scores = A_query @ B.T
+    if exclude_mask is not None:
+        scores = jnp.where(exclude_mask, NEG_INF, scores)
+    vals, idx = lax.top_k(scores, n_top)
+    return vals, idx
+
+
+# ---------------------------------------------------------------------------
+# Out-of-sample factors
+# ---------------------------------------------------------------------------
+
+
+def factors_multiple(
+    B: jnp.ndarray,
+    Bsum: jnp.ndarray,
+    Amean: jnp.ndarray,
+    X_new: CountsMatrix,
+    params: FitParams,
+    reuse_mean: bool = True,
+) -> jnp.ndarray:
+    """Solve factors for a batch of NEW rows with B fixed (pred.c:66-199).
+
+    Init rows to Amean (or 1e-3 for tncg with reuse_mean=False); one solver
+    pass with the training method:
+      * pg:  ``niter`` outer iterations with step halving (pred.c:149-168),
+      * cg:  ``maxupd * niter`` updates in ONE call (pred.c:171-178),
+      * tncg: one tncg pass, early-stop disabled (pred.c:180-189).
+    ``Bsum`` must already include the training l1 (pred.c:78).
+    """
+    p = params.resolved()
+    R = X_new.n_rows_pad
+    k = B.shape[1]
+    dtype = B.dtype
+
+    A0 = jnp.broadcast_to(Amean.astype(dtype), (R, k))
+
+    bsum_in = Bsum
+    if p.w_mult != 1.0:
+        bsum_in = obj.adjusted_bsum(B, Bsum, X_new, p.w_mult)
+
+    if p.method == "pg":
+        step = p.initial_step
+        A = A0
+        for _ in range(p.niter):
+            A = pg_update(
+                A, B, X_new, bsum_in,
+                jnp.asarray(p.l2_reg, dtype=dtype),
+                jnp.asarray(step, dtype=dtype),
+                w_mult=p.w_mult, maxupd=p.maxupd, nnz_chunk=p.nnz_chunk,
+            )
+            step *= 0.5
+    elif p.method == "cg":
+        A = cg_update(
+            A0, B, X_new, bsum_in,
+            l2_reg=p.l2_reg, w_mult=p.w_mult,
+            maxupd=p.maxupd * p.niter, limit_step=p.limit_step,
+            nnz_chunk=p.nnz_chunk,
+        )
+    else:  # tncg
+        A, _ = tncg_update(
+            A0, B, X_new, bsum_in,
+            l2_reg=p.l2_reg, w_mult=p.w_mult, maxupd=p.maxupd,
+            reuse_prev=reuse_mean,  # reuse_mean=False -> 1e-3 init, like C
+            track_unchanged=False, nnz_chunk=p.nnz_chunk,
+        )
+    return A
+
+
+def factors_single(
+    B: jnp.ndarray,
+    Bsum: jnp.ndarray,
+    Amean: jnp.ndarray,
+    item_ix: np.ndarray,
+    counts: np.ndarray,
+    *,
+    l2_reg: float,
+    l1_new: float = 0.0,
+    l1_old: float = 0.0,
+    w_mult: float = 1.0,
+    maxupd: int = 1000,
+    reuse_mean: bool = True,
+    n_items: Optional[int] = None,
+) -> jnp.ndarray:
+    """Factors for ONE new row - ALWAYS via TNCG regardless of the training
+    method (pred.c:201-304; docstring poismf/__init__.py:511-515).
+
+    Handles the ``l1_new - l1_old`` Bsum shift (pred.c:254-257) and the
+    w_mult re-weighting of Bsum over this row's items (pred.c:242-248).
+    """
+    k = B.shape[1]
+    dtype = B.dtype
+    item_ix = np.asarray(item_ix, dtype=np.int32).reshape(-1)
+    counts = np.asarray(counts).reshape(-1)
+    if item_ix.size == 0:
+        return jnp.zeros((k,), dtype=dtype)
+
+    n = B.shape[0] if n_items is None else n_items
+    X1 = build_counts(
+        np.zeros_like(item_ix), item_ix, counts, 1, n, dtype=np.dtype(str(dtype))
+    )
+
+    bsum_pass = Bsum.astype(dtype)
+    if w_mult != 1.0:
+        row_b = jnp.sum(jnp.take(B, jnp.asarray(item_ix), axis=0), axis=0)
+        bsum_pass = bsum_pass + (w_mult - 1.0) * row_b
+    l1_delta = l1_new - l1_old
+    if l1_delta > 0.0:
+        bsum_pass = bsum_pass + l1_delta
+
+    A0 = jnp.zeros((X1.n_rows_pad, k), dtype=dtype)
+    A0 = A0.at[0].set(Amean.astype(dtype))
+    out, _ = tncg_update(
+        A0, B, X1, bsum_pass,
+        l2_reg=float(l2_reg), w_mult=float(w_mult), maxupd=int(maxupd),
+        reuse_prev=reuse_mean, track_unchanged=False,
+    )
+    return out[0]

@@ -1,0 +1,165 @@
+"""Tests for the serving kernels (predict / topN / out-of-sample factors),
+mirroring the behaviors of pred.c and topN.c."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from poismf_tpu import serve
+from poismf_tpu.sparse import build_counts
+from poismf_tpu.train import FitParams
+from tests.conftest import synth_counts
+
+
+@pytest.fixture
+def factors(rng):
+    A = rng.uniform(0, 1, size=(30, 6)).astype(np.float32)
+    B = rng.uniform(0, 1, size=(50, 6)).astype(np.float32)
+    return jnp.asarray(A), jnp.asarray(B)
+
+
+def test_predict_pairs(factors, rng):
+    A, B = factors
+    u = rng.integers(0, 30, size=17).astype(np.int32)
+    it = rng.integers(0, 50, size=17).astype(np.int32)
+    out = np.asarray(serve.predict_pairs(A, B, jnp.asarray(u), jnp.asarray(it)))
+    ref = np.sum(np.asarray(A)[u] * np.asarray(B)[it], axis=1)
+    np.testing.assert_allclose(out, ref, rtol=1e-5)
+
+
+def test_topn_general(factors):
+    A, B = factors
+    a = A[3]
+    scores = np.asarray(B) @ np.asarray(a)
+    ref = np.argsort(-scores)[:10]
+    idx, sc = serve.top_n(a, B, n_top=10, output_score=True)
+    np.testing.assert_array_equal(idx, ref)
+    np.testing.assert_allclose(sc, scores[ref], rtol=1e-5)
+
+
+def test_topn_exclude(factors):
+    A, B = factors
+    a = A[0]
+    excl = np.array([1, 5, 9, 30], dtype=np.int32)
+    idx = serve.top_n(a, B, n_top=10, exclude_ix=excl)
+    assert len(set(idx.tolist()) & set(excl.tolist())) == 0
+    scores = np.asarray(B) @ np.asarray(a)
+    scores[excl] = -np.inf
+    np.testing.assert_array_equal(idx, np.argsort(-scores)[:10])
+
+
+def test_topn_include(factors):
+    A, B = factors
+    a = A[1]
+    incl = np.array([2, 3, 11, 17, 23, 42], dtype=np.int32)
+    idx, sc = serve.top_n(a, B, n_top=4, include_ix=incl, output_score=True)
+    assert set(idx.tolist()) <= set(incl.tolist())
+    scores = np.asarray(B) @ np.asarray(a)
+    ref = incl[np.argsort(-scores[incl])][:4]
+    np.testing.assert_array_equal(idx, ref)
+
+
+def test_topn_validation(factors):
+    A, B = factors
+    a = A[0]
+    with pytest.raises(ValueError):
+        serve.top_n(a, B, n_top=5, include_ix=np.array([1]),
+                    exclude_ix=np.array([2]))
+    with pytest.raises(ValueError):
+        serve.top_n(a, B, n_top=0)
+    with pytest.raises(ValueError):
+        serve.top_n(a, B, n_top=3, include_ix=np.array([1, 2]))
+    with pytest.raises(ValueError):
+        # exclude more than n - n_top
+        serve.top_n(a, B, n_top=49, exclude_ix=np.arange(5))
+
+
+def test_topn_masks_padded_items(factors):
+    """Padded B rows (all zeros) must never be recommended even when scores
+    are all negative ... here all scores are >= 0 so zero rows could tie;
+    they are masked via n_items."""
+    A, B = factors
+    Bpad = jnp.concatenate([B, jnp.zeros((6, B.shape[1]), B.dtype)], axis=0)
+    idx = serve.top_n(A[2], Bpad, n_top=10, n_items=50)
+    assert np.all(idx < 50)
+
+
+def test_topn_batched(factors):
+    A, B = factors
+    vals, idx = serve.top_n_batched(A[:5], B, 7)
+    scores = np.asarray(A[:5]) @ np.asarray(B).T
+    for q in range(5):
+        np.testing.assert_array_equal(
+            np.asarray(idx[q]), np.argsort(-scores[q])[:7]
+        )
+
+
+def _fit_small(rng, method="tncg"):
+    from poismf_tpu.sparse import build_both_orientations
+    from poismf_tpu.train import initialize_factors, run_poismf
+    from poismf_tpu.ops.objective import make_bsum
+
+    n_users, n_items, k = 60, 25, 6
+    rows, cols, vals = synth_counts(rng, n_users, n_items, density=0.3)
+    by_user, by_item = build_both_orientations(
+        rows, cols, vals, n_users, n_items, dtype=np.float32
+    )
+    A = initialize_factors(n_users, by_user.n_rows_pad, k, rng)
+    B = initialize_factors(n_items, by_item.n_rows_pad, k, rng)
+    p = FitParams(k=k, method=method, l2_reg=1.0, niter=5, maxupd=100)
+    A, B, _ = run_poismf(A, B, by_user, by_item, p)
+    Bsum = make_bsum(B, n_items, 0.0)
+    Amean = jnp.mean(A[:n_users], axis=0)
+    return A, B, Bsum, Amean, (rows, cols, vals), (n_users, n_items, k), p
+
+
+def test_factors_single_close_to_training_row(rng):
+    """Cold-start factors for an existing user's data should predict similarly
+    to that user's trained factors."""
+    A, B, Bsum, Amean, (rows, cols, vals), (n_users, n_items, k), p = \
+        _fit_small(rng)
+    r = int(np.argmax(np.bincount(rows)))  # densest user
+    sel = rows == r
+    a_new = serve.factors_single(
+        B, Bsum, Amean, cols[sel], vals[sel],
+        l2_reg=p.l2_reg, maxupd=1000, n_items=n_items,
+    )
+    a_new = np.asarray(a_new)
+    assert not np.any(np.isnan(a_new))
+    assert a_new.min() >= 0 and a_new.max() > 0
+    # same data, same objective -> predictions on this user's items close
+    pred_new = np.asarray(B)[cols[sel]] @ a_new
+    pred_old = np.asarray(B)[cols[sel]] @ np.asarray(A[r])
+    corr = np.corrcoef(pred_new, pred_old)[0, 1]
+    assert corr > 0.8, corr
+
+
+def test_factors_single_empty_returns_zeros(rng):
+    A, B, Bsum, Amean, _, (n_users, n_items, k), p = _fit_small(rng)
+    a_new = serve.factors_single(
+        B, Bsum, Amean, np.array([], dtype=np.int32), np.array([]),
+        l2_reg=p.l2_reg, n_items=n_items,
+    )
+    assert np.all(np.asarray(a_new) == 0.0)
+
+
+@pytest.mark.parametrize("method", ["tncg", "cg", "pg"])
+def test_factors_multiple_matches_training_users(rng, method):
+    A, B, Bsum, Amean, (rows, cols, vals), (n_users, n_items, k), p = \
+        _fit_small(rng, method=method)
+    # re-solve the first 10 training users as if they were new
+    sel = rows < 10
+    X_new = build_counts(rows[sel], cols[sel], vals[sel], 10, n_items,
+                         dtype=np.float32)
+    A_new = serve.factors_multiple(B, Bsum, Amean, X_new, p, reuse_mean=True)
+    A_new = np.asarray(A_new)[:10]
+    assert not np.any(np.isnan(A_new))
+    assert A_new.min() >= 0
+    if method == "tncg":
+        # the optimization problem is identical -> factors should be close
+        pred_new = np.einsum("ij,ij->i", A_new[rows[sel]],
+                             np.asarray(B)[cols[sel]])
+        pred_old = np.einsum("ij,ij->i", np.asarray(A)[rows[sel]],
+                             np.asarray(B)[cols[sel]])
+        corr = np.corrcoef(pred_new, pred_old)[0, 1]
+        assert corr > 0.8, corr
