@@ -6,12 +6,19 @@ Must set the flags BEFORE jax initializes its backends.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+# The environment may pre-register a hardware backend (e.g. the axon TPU
+# plugin) via sitecustomize before conftest runs; force the CPU platform at
+# the config level too so tests always see the virtual 8-device CPU mesh.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
