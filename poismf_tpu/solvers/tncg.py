@@ -71,6 +71,7 @@ def _maxcgit(k: int) -> int:
         "track_unchanged",
         "nnz_chunk",
         "max_outer",
+        "return_stats",
     ),
 )
 def tncg_update(
@@ -86,6 +87,7 @@ def tncg_update(
     track_unchanged: bool = False,
     nnz_chunk: Optional[int] = None,
     max_outer: int = 0,
+    return_stats: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One TNCG pass over every row of A (B fixed).
 
@@ -283,4 +285,9 @@ def tncg_update(
         share = unchanged.astype(jnp.float32) / float(max(X.n_rows, 1))
     else:
         share = jnp.zeros((), dtype=jnp.float32)
+    if return_stats:
+        return x_final, share, dict(
+            outer_iters=out["it"], nfeval=out["nfeval"],
+            still_active=jnp.sum(out["active"]),
+        )
     return x_final, share
