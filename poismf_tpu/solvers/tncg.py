@@ -109,8 +109,9 @@ def tncg_update(
     pgtol = 1e-2 * (rteps ** 0.5)  # tnc.c:431-433 with accuracy=rteps
     xtol = rteps
 
-    def fg(Acur):
-        return obj.poisson_fg(Acur, B, X, Bsum, l2_reg, w_mult, nnz_chunk)
+    def fgh(Acur):
+        # fused f / grad / HVP-weights / Hessian-diagonal: ONE edge pass
+        return obj.poisson_fgh(Acur, B, X, Bsum, l2_reg, w_mult, nnz_chunk)
 
     def f_only(Acur):
         return obj.poisson_f(Acur, B, X, Bsum, l2_reg, w_mult, nnz_chunk)
@@ -122,11 +123,13 @@ def tncg_update(
         # init to 1e-3 (poismf.c:379-381)
         x0 = jnp.where(has_nnz[:, None], jnp.full_like(A, 1e-3), 0.0)
 
-    f0, g0 = fg(x0)
+    f0, g0, w20, diag0 = fgh(x0)
     state0 = dict(
         x=x0,
         f=f0,
         g=g0,
+        w2=w20,
+        diag=diag0,
         nfeval=jnp.ones((R,), dtype=jnp.int32),
         active=has_nnz & jnp.isfinite(f0),
         it=jnp.zeros((), dtype=jnp.int32),
@@ -145,10 +148,9 @@ def tncg_update(
         conv_pg = pgnorm <= pgtol * (1.0 + jnp.abs(f))
         active = active & ~conv_pg
 
-        # --- Hessian data at x (shared across all HVPs this iteration) ---
-        w2 = obj.poisson_hvp_weights(x, B, X, w_mult)
-        diag = obj.poisson_hess_diag(B, X, w2, l2_reg, nnz_chunk)
-        inv_diag = 1.0 / jnp.maximum(diag, 1e-12)
+        # --- Hessian data at x (computed fused with f/g on entry) ---
+        w2 = s["w2"]
+        inv_diag = 1.0 / jnp.maximum(s["diag"], 1e-12)
 
         def hvp(V):
             Vm = jnp.where(fixed, 0.0, V)
@@ -167,9 +169,16 @@ def tncg_update(
             d=d0, r=r, z=z, p=p, rz=rz,
             run=active & (r0norm > 0.0),
             hvps=jnp.zeros((R,), dtype=jnp.int32),
+            i=jnp.zeros((), dtype=jnp.int32),
         )
 
-        def cg_body(i, t):
+        def cg_cond(t):
+            # stop as soon as every row's CG has hit its forcing tolerance
+            # (the fori_loop equivalent burned maxcg HVPs regardless)
+            return (t["i"] < maxcg) & jnp.any(t["run"])
+
+        def cg_body(t):
+            i = t["i"]
             Hp = hvp(t["p"])
             pHp = jnp.sum(t["p"] * Hp, axis=1)
             pp = jnp.sum(t["p"] * t["p"], axis=1)
@@ -195,9 +204,9 @@ def tncg_update(
             still = t["run"] & curv_ok & (rnorm > (TNC_ETA ** 2) * r0norm)
             hvps = t["hvps"] + t["run"].astype(jnp.int32)
             return dict(d=d_new, r=r_new, z=z_new, p=p_new, rz=rz_new,
-                        run=still, hvps=hvps)
+                        run=still, hvps=hvps, i=i + 1)
 
-        cg = lax.fori_loop(0, maxcg, cg_body, cg0)
+        cg = lax.while_loop(cg_cond, cg_body, cg0)
         d = jnp.where(fixed, 0.0, cg["d"])
 
         # fall back to steepest descent if CG returned junk or ascent
@@ -257,15 +266,17 @@ def tncg_update(
 
         active_next = active & ~conv_f & ~conv_x & ~ls_fail & ~budget
 
-        # gradient at the accepted point (only matters for still-active rows
-        # but computed batched; +1 eval for rows that moved)
-        _, g_next = fg(x_next)
+        # f/g/Hessian data at the accepted point, all in one fused pass
+        # (+1 eval for rows that moved)
+        _, g_next, w2_next, diag_next = fgh(x_next)
         nfe = ls["nfeval"] + moved.astype(jnp.int32)
 
         return dict(
             x=x_next,
             f=f_next,
             g=g_next,
+            w2=w2_next,
+            diag=diag_next,
             nfeval=nfe,
             active=active_next,
             it=s["it"] + 1,
