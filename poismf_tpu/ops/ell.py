@@ -1,0 +1,467 @@
+"""Planar-ELL sparse layout and gather-free objective kernels.
+
+Motivation (measured on v5e): XLA TPU gathers/scatters run ~13x slower per
+byte than linear reads, and the flat-COO kernels in :mod:`.objective` gather
+``B[cols]`` and scatter per-row sums in EVERY solver pass.  Since the fixed
+factor matrix does not change within a half-update, we instead:
+
+  1. bucket rows by nonzero count (powers of two, rows sorted by nnz so each
+     bucket is a contiguous row range in the permuted order) — the TPU answer
+     to the reference's per-row ``for (ix = st_ix_a; ...)`` loops over CSR
+     (/root/reference/src/poismf.c:194-273) under a power-law nnz
+     distribution;
+  2. gather the fixed matrix's rows ONCE per half-update into per-bucket
+     "planes" ``bg[k, P, R_b]`` (k outermost, row dim on vector lanes);
+  3. run every objective/gradient/HVP evaluation as elementwise ops plus
+     reductions over the small leading dims — zero gathers, zero scatters,
+     reading ``bg`` at streaming bandwidth.
+
+The planar orientation matters: with ``R_b`` on lanes and ``P`` on sublanes,
+the reduction over nonzeros (P) is a cheap sublane reduction and the
+reduction over features (k) is a sequential accumulation of [P, R_b] planes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+# Row-count padding within a bucket (TPU lane granularity).
+ROW_TILE = 128
+# Smallest nnz bucket width.
+MIN_P = 4
+
+
+@dataclasses.dataclass(frozen=True)
+class EllBucket:
+    """One nnz bucket: rows [offset, offset + n_rows) of the permuted order,
+    each holding at most P nonzeros.  ``cols`` is row-major [R_b, P] for the
+    one-off gather; ``vals`` is planar [P, R_b] for the kernels.  Padding
+    entries have ``col == 0`` and ``val == 0``."""
+
+    offset: int
+    n_rows: int  # padded to ROW_TILE
+    P: int
+    cols: Any  # [R_b, P] int32
+    vals: Any  # [P, R_b] dtype
+
+    def tree_flatten(self):
+        return (self.cols, self.vals), (self.offset, self.n_rows, self.P)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        cols, vals = children
+        offset, n_rows, P = aux
+        return cls(offset, n_rows, P, cols, vals)
+
+
+@dataclasses.dataclass(frozen=True)
+class EllMatrix:
+    """Bucketed planar-ELL view of a sparse counts matrix.
+
+    Nonempty rows are sorted by descending nonzero count and laid out bucket
+    by bucket in their own padded "ELL row space" of size ``n_rows_ell``
+    (= sum of padded bucket rows + a zero tail).  ``perm[i]`` is the original
+    row id at ELL position ``i`` (padding slots carry the sentinel
+    ``n_rows_pad``, which :func:`permute_rows` turns into zero rows);
+    ``inv_perm`` maps original row ids back to ELL positions (empty rows
+    point at the zero tail)."""
+
+    buckets: Tuple[EllBucket, ...]
+    perm: Any  # [n_rows_ell] int32 (device), pad slots = n_rows_pad sentinel
+    inv_perm: Any  # [n_rows_pad] int32 (device)
+    row_nnz_perm: Any  # [n_rows_ell] int32 (device) nnz per ELL slot
+    n_rows: int
+    n_cols: int
+    nnz: int
+    n_rows_pad: int
+    n_rows_ell: int
+
+    def tree_flatten(self):
+        return (self.buckets, self.perm, self.inv_perm, self.row_nnz_perm), (
+            self.n_rows, self.n_cols, self.nnz, self.n_rows_pad,
+            self.n_rows_ell,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        buckets, perm, inv_perm, row_nnz_perm = children
+        return cls(tuple(buckets), perm, inv_perm, row_nnz_perm, *aux)
+
+
+def _register():
+    import jax
+
+    jax.tree_util.register_pytree_node(
+        EllBucket, EllBucket.tree_flatten, EllBucket.tree_unflatten
+    )
+    jax.tree_util.register_pytree_node(
+        EllMatrix, EllMatrix.tree_flatten, EllMatrix.tree_unflatten
+    )
+
+
+_register()
+
+
+def _ceil_to(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def _plan_buckets(counts_sorted: np.ndarray) -> List[Tuple[int, int, int, int]]:
+    """Bucket spans over nnz-descending-sorted rows.
+
+    Returns [(start, end, P, ell_offset)] where rows [start, end) of the
+    sorted order form a bucket of width P at ELL row offset ``ell_offset``
+    (buckets padded to ROW_TILE rows)."""
+    n_nonempty = int(np.count_nonzero(counts_sorted))
+    spans: List[Tuple[int, int, int, int]] = []
+    ell_off = 0
+    start = 0
+    while start < n_nonempty:
+        c = int(counts_sorted[start])
+        P = max(MIN_P, 1 << (c - 1).bit_length())
+        lo_width = P // 2 if P > MIN_P else 0
+        end = int(
+            np.searchsorted(-counts_sorted, -(lo_width + 1), side="right")
+        )
+        end = max(end, start + 1)
+        spans.append((start, end, P, ell_off))
+        ell_off += _ceil_to(end - start, ROW_TILE)
+        start = end
+    return spans
+
+
+def build_ell(
+    rows: np.ndarray,
+    cols: np.ndarray,
+    vals: np.ndarray,
+    n_rows: int,
+    n_cols: int,
+    n_rows_pad: int,
+    dtype=np.float32,
+    to_device: bool = True,
+    col_positions: Optional[np.ndarray] = None,
+) -> EllMatrix:
+    """Build the bucketed planar-ELL layout from COO triplets.
+
+    Rows are sorted by descending nnz; bucket widths are powers of two (>=
+    MIN_P), so total padding is < 2x nnz.  Rows with zero nonzeros (and the
+    padding rows up to ``n_rows_pad``) are appended at the end and belong to
+    no bucket.
+
+    ``col_positions``, when given, remaps every column id through it (used to
+    point this orientation's columns at the OTHER orientation's permuted row
+    positions, so both factor matrices can live in their permuted orders for
+    the whole fit with no per-epoch permutes).
+    """
+    rows = np.asarray(rows, dtype=np.int64).reshape(-1)
+    cols = np.asarray(cols, dtype=np.int64).reshape(-1)
+    if col_positions is not None:
+        cols = np.asarray(col_positions, dtype=np.int64)[cols]
+    vals = np.asarray(vals, dtype=dtype).reshape(-1)
+    nnz = int(rows.shape[0])
+
+    counts = np.bincount(rows, minlength=n_rows).astype(np.int64)
+    order = np.argsort(-counts, kind="stable").astype(np.int64)  # desc nnz
+    # compact sorted position of every original row
+    pos_of_row = np.empty(n_rows_pad, dtype=np.int64)
+    pos_of_row[order] = np.arange(n_rows, dtype=np.int64)
+    pos_of_row[n_rows:] = np.arange(n_rows, n_rows_pad)
+
+    counts_sorted = counts[order]
+
+    # CSR-style slot within each row for every nonzero
+    sort_idx = np.argsort(rows, kind="stable")
+    r_sorted = rows[sort_idx]
+    starts = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    slot = np.arange(nnz, dtype=np.int64) - starts[r_sorted]
+
+    # bucket the sorted rows (widths are powers of two; the MIN_P bucket
+    # absorbs every remaining nonempty row)
+    spans = _plan_buckets(counts_sorted)
+    buckets: List[EllBucket] = []
+    for start, end, P, off in spans:
+        Rb = _ceil_to(end - start, ROW_TILE)
+        bcols = np.zeros((Rb, P), dtype=np.int32)
+        bvals = np.zeros((Rb, P), dtype=dtype)
+        sel = (pos_of_row[r_sorted] >= start) & (pos_of_row[r_sorted] < end)
+        rr = (pos_of_row[r_sorted[sel]] - start).astype(np.int64)
+        ss = slot[sel]
+        bcols[rr, ss] = cols[sort_idx[sel]].astype(np.int32)
+        bvals[rr, ss] = vals[sort_idx[sel]]
+        buckets.append(
+            EllBucket(
+                offset=off, n_rows=Rb, P=P,
+                cols=bcols, vals=np.ascontiguousarray(bvals.T),
+            )
+        )
+
+    # ELL row space: padded buckets back-to-back + a guaranteed zero tail
+    covered = (spans[-1][3] + _ceil_to(spans[-1][1] - spans[-1][0], ROW_TILE)
+               ) if spans else 0
+    n_rows_ell = covered + ROW_TILE
+    perm = np.full(n_rows_ell, n_rows_pad, dtype=np.int64)  # pad sentinel
+    inv_perm = np.full(n_rows_pad, n_rows_ell - 1, dtype=np.int64)
+    row_nnz_perm = np.zeros(n_rows_ell, dtype=np.int32)
+    for s, e, _P, off in spans:
+        perm[off : off + (e - s)] = order[s:e]
+        inv_perm[order[s:e]] = off + np.arange(e - s, dtype=np.int64)
+        row_nnz_perm[off : off + (e - s)] = counts_sorted[s:e]
+
+    if to_device:
+        import jax.numpy as jnp
+
+        buckets = [
+            EllBucket(
+                b.offset, b.n_rows, b.P,
+                jnp.asarray(b.cols), jnp.asarray(b.vals),
+            )
+            for b in buckets
+        ]
+        perm_d = jnp.asarray(perm.astype(np.int32))
+        inv_perm_d = jnp.asarray(inv_perm.astype(np.int32))
+        row_nnz_d = jnp.asarray(row_nnz_perm)
+    else:
+        perm_d = perm.astype(np.int32)
+        inv_perm_d = inv_perm.astype(np.int32)
+        row_nnz_d = row_nnz_perm
+
+    return EllMatrix(
+        buckets=tuple(buckets),
+        perm=perm_d,
+        inv_perm=inv_perm_d,
+        row_nnz_perm=row_nnz_d,
+        n_rows=n_rows,
+        n_cols=n_cols,
+        nnz=nnz,
+        n_rows_pad=n_rows_pad,
+        n_rows_ell=n_rows_ell,
+    )
+
+
+def row_positions(
+    rows: np.ndarray, n_rows: int, n_rows_pad: int
+) -> np.ndarray:
+    """ELL-space position of each original row id — the ``inv_perm`` that
+    :func:`build_ell` will produce for the same row set (empty rows point at
+    the zero tail)."""
+    counts = np.bincount(
+        np.asarray(rows, dtype=np.int64), minlength=n_rows
+    ).astype(np.int64)
+    order = np.argsort(-counts, kind="stable")
+    counts_sorted = counts[order]
+    spans = _plan_buckets(counts_sorted)
+    covered = (spans[-1][3] + _ceil_to(spans[-1][1] - spans[-1][0], ROW_TILE)
+               ) if spans else 0
+    n_rows_ell = covered + ROW_TILE
+    pos = np.full(n_rows_pad, n_rows_ell - 1, dtype=np.int64)
+    for s, e, _P, off in spans:
+        pos[order[s:e]] = off + np.arange(e - s, dtype=np.int64)
+    return pos
+
+
+def ell_from_counts(X, dtype=None, col_positions=None) -> EllMatrix:
+    """Build from a flat-COO :class:`~poismf_tpu.sparse.CountsMatrix`."""
+    rows = np.asarray(X.row_ids[: X.nnz])
+    cols = np.asarray(X.col_ids[: X.nnz])
+    vals = np.asarray(X.vals[: X.nnz])
+    return build_ell(
+        rows, cols, vals, X.n_rows, X.n_cols, X.n_rows_pad,
+        dtype=dtype or vals.dtype, col_positions=col_positions,
+    )
+
+
+def ell_pair_from_counts(by_user, by_item, dtype=None):
+    """Build BOTH orientations with cross-referenced permuted column ids:
+    the by-user ELL's columns index the by-item permuted order and vice
+    versa, so A and B stay in permuted order for the whole fit."""
+    pos_u = row_positions(
+        np.asarray(by_user.row_ids[: by_user.nnz]),
+        by_user.n_rows, by_user.n_rows_pad,
+    )
+    pos_i = row_positions(
+        np.asarray(by_item.row_ids[: by_item.nnz]),
+        by_item.n_rows, by_item.n_rows_pad,
+    )
+    ell_user = ell_from_counts(by_user, dtype=dtype, col_positions=pos_i)
+    ell_item = ell_from_counts(by_item, dtype=dtype, col_positions=pos_u)
+    return ell_user, ell_item
+
+
+def adjusted_bsum_ell(
+    planes: Sequence[Any],
+    ell: EllMatrix,
+    Bsum,
+    w_mult: float,
+):
+    """Per-row weighted Bsum in permuted order:
+    ``Bsum + (w_mult - 1) * sum_{i in nnz(r)} B_i`` (adjustment_Bsum,
+    poismf.c:85-123).  Uses the pre-gathered planes; padding entries are
+    masked via ``vals > 0``.  Returns [n_rows_pad, k]."""
+    import jax.numpy as jnp
+
+    parts = []
+    for b, bg in zip(ell.buckets, planes):
+        valid = (b.vals > 0).astype(bg.dtype)  # [P, R_b]
+        parts.append(jnp.sum(valid[None] * bg, axis=1).T)  # [R_b, k]
+    k = planes[0].shape[0] if planes else Bsum.shape[-1]
+    row_b = _assemble(ell, parts, 0.0, (k,), Bsum.dtype)
+    return Bsum[None, :] + (w_mult - 1.0) * row_b
+
+
+# ---------------------------------------------------------------------------
+# Kernels
+# ---------------------------------------------------------------------------
+
+
+def gather_planes(M: "Any", ell: EllMatrix) -> Tuple[Any, ...]:
+    """One-off per half-update: gather the FIXED matrix's rows for every
+    nonzero into planar per-bucket tensors ``bg[k, P, R_b]``.
+
+    This is the ONLY gather on the critical path; every subsequent solver
+    pass streams these planes linearly."""
+    import jax.numpy as jnp
+
+    planes = []
+    for b in ell.buckets:
+        bg = jnp.take(M, b.cols, axis=0)  # [R_b, P, k]
+        planes.append(jnp.transpose(bg, (2, 1, 0)))  # [k, P, R_b]
+    return tuple(planes)
+
+
+def _bucket_slices(ell: EllMatrix, A_perm):
+    for b in ell.buckets:
+        yield b, A_perm[b.offset : b.offset + b.n_rows]
+
+
+def _assemble(ell: EllMatrix, pieces: Sequence[Any], fill, shape, dtype):
+    """Concatenate per-bucket row outputs back to [n_rows_ell, ...]."""
+    import jax.numpy as jnp
+
+    covered = sum(b.n_rows for b in ell.buckets)
+    rest = ell.n_rows_ell - covered
+    parts = list(pieces)
+    if rest > 0:
+        parts.append(jnp.full((rest,) + shape, fill, dtype=dtype))
+    return jnp.concatenate(parts, axis=0)
+
+
+PRED_EPS = 1e-30
+
+
+def fgh_ell(
+    A_perm,
+    planes: Sequence[Any],
+    ell: EllMatrix,
+    Bsum,
+    l2_reg: float,
+    w_mult: float = 1.0,
+):
+    """Fused f / grad / HVP-weights / Hessian-diagonal over all buckets.
+
+    ``A_perm``: [n_rows_pad, k] in permuted row order.  ``Bsum`` is [k]
+    (shared) or [n_rows_pad, k] (per-row, ALREADY permuted).  Returns
+    ``(f [R], g [R,k], w2 (per-bucket [P,R_b] tuple), diag [R,k])``.
+
+    Same math as :func:`poismf_tpu.ops.objective.poisson_fgh` (see the
+    reference's calc_fun_and_grad, poismf.c:242-273), reorganized so every
+    tensor is read linearly.
+    """
+    import jax.numpy as jnp
+
+    k = A_perm.shape[1]
+    dtype = A_perm.dtype
+    neg_llks, grads, diags, w2s = [], [], [], []
+    for b, Ab in _bucket_slices(ell, A_perm):
+        bg = planes[len(w2s)]  # [k, P, R_b]
+        A_T = Ab.T  # [k, R_b]
+        pred = jnp.sum(bg * A_T[:, None, :], axis=0)  # [P, R_b]
+        safe = jnp.maximum(pred, PRED_EPS)
+        valid = b.vals > 0
+        logt = jnp.where(valid, b.vals * jnp.log(safe), 0.0)
+        w = jnp.where(valid, b.vals / safe, 0.0)
+        w2 = jnp.where(valid, w_mult * b.vals / (safe * safe), 0.0)
+        neg_llks.append(-jnp.sum(logt, axis=0))  # [R_b]
+        grads.append(-jnp.sum(w[None] * bg, axis=1).T)  # [R_b, k]
+        diags.append(jnp.sum(w2[None] * (bg * bg), axis=1).T)  # [R_b, k]
+        w2s.append(w2)
+
+    neg_llk = _assemble(ell, neg_llks, 0.0, (), dtype)
+    grad_data = _assemble(ell, grads, 0.0, (k,), dtype)
+    diag_data = _assemble(ell, diags, 0.0, (k,), dtype)
+
+    if w_mult != 1.0:
+        neg_llk = w_mult * neg_llk
+        grad_data = w_mult * grad_data
+    if Bsum.ndim == 1:
+        lin = A_perm @ Bsum
+        g_lin = Bsum[None, :]
+    else:
+        lin = jnp.sum(A_perm * Bsum, axis=-1)
+        g_lin = Bsum
+    f = lin + l2_reg * jnp.sum(A_perm * A_perm, axis=-1) + neg_llk
+    g = g_lin + 2.0 * l2_reg * A_perm + grad_data
+    diag = 2.0 * l2_reg + diag_data
+    return f, g, tuple(w2s), diag
+
+
+def f_ell(
+    A_perm,
+    planes: Sequence[Any],
+    ell: EllMatrix,
+    Bsum,
+    l2_reg: float,
+    w_mult: float = 1.0,
+):
+    """Objective only (line-search trials).  No eps floor: a non-positive
+    prediction at a positive count poisons the row with +inf, matching the
+    reference's Inf-rejected line search (nonnegcg.c:223-226, 308)."""
+    import jax.numpy as jnp
+
+    dtype = A_perm.dtype
+    neg_llks = []
+    for b, Ab in _bucket_slices(ell, A_perm):
+        bg = planes[len(neg_llks)]
+        pred = jnp.sum(bg * Ab.T[:, None, :], axis=0)
+        logt = jnp.where(b.vals > 0, b.vals * jnp.log(pred), 0.0)
+        neg_llks.append(-jnp.sum(logt, axis=0))
+    neg_llk = _assemble(ell, neg_llks, 0.0, (), dtype)
+    if w_mult != 1.0:
+        neg_llk = w_mult * neg_llk
+    if Bsum.ndim == 1:
+        lin = A_perm @ Bsum
+    else:
+        lin = jnp.sum(A_perm * Bsum, axis=-1)
+    return lin + l2_reg * jnp.sum(A_perm * A_perm, axis=-1) + neg_llk
+
+
+def hvp_ell(
+    V_perm,
+    planes: Sequence[Any],
+    ell: EllMatrix,
+    w2s: Sequence[Any],
+    l2_reg: float,
+):
+    """Exact Hessian-vector product with cached curvature weights ``w2``:
+    ``(H v)_r = 2*l2*v_r + sum_i w2_ri * <B_i, v_r> * B_i``."""
+    import jax.numpy as jnp
+
+    k = V_perm.shape[1]
+    outs = []
+    for (b, Vb), w2 in zip(_bucket_slices(ell, V_perm), w2s):
+        bg = planes[len(outs)]
+        bv = jnp.sum(bg * Vb.T[:, None, :], axis=0)  # [P, R_b]
+        outs.append(jnp.sum((w2 * bv)[None] * bg, axis=1).T)  # [R_b, k]
+    data = _assemble(ell, outs, 0.0, (k,), V_perm.dtype)
+    return 2.0 * l2_reg * V_perm + data
+
+
+def permute_rows(M, perm):
+    """M[perm] with out-of-range (sentinel) positions yielding zero rows —
+    moves factor matrices between original and ELL row order."""
+    import jax.numpy as jnp
+
+    return jnp.take(M, perm, axis=0, mode="fill", fill_value=0)

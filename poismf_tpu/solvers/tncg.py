@@ -13,12 +13,13 @@ fixed-shape equivalent:
   -------------------------------------   ----------------------------------
   Hv by gradient finite differences       exact HVP: H_r v = 2*l2*v +
     (hessianTimesVector :1388-1435,         sum_i (x_i/pred_i^2) <B_i,v> B_i
-    1 extra f/g eval per Hv)                (one SDDMM + SpMM, no log/exp)
+    1 extra f/g eval per Hv)                (one fused pass, no log/exp)
   active-set pivots for low=0             per-coordinate mask
     (setConstraints :512-545 etc.)          fixed = (x<=0) & (g>0)
   inner preconditioned CG, maxCGit =      batched masked CG, same maxCGit
     clamp(k/2,1,50) (:1162-1341)            clamp, eta=0.25 forcing term,
-                                            negative-curvature truncation
+                                            negative-curvature truncation,
+                                            stops when every row converged
   2-step SSBFGS diagonal preconditioner   exact Hessian diagonal (Jacobi)
     (msolve :1444-1528)                     2*l2 + sum_i w2_i B_ik^2
   Gill-Murray cubic line search           projected-Armijo backtracking
@@ -27,6 +28,14 @@ fixed-shape equivalent:
     |pg|<=pgtol (:699-712, 909-929)
   maxnfeval budget (= maxupd)             same accounting: +1 per f/g eval,
                                             +1 per HVP, +1 per LS trial
+
+Two data-layout backends share the solver core:
+
+  * flat sorted-COO (:mod:`..ops.objective`) — simple, used for small
+    problems and the sharded per-device path;
+  * planar ELL (:mod:`..ops.ell`) — gather/scatter-free hot loop with the
+    fixed matrix's rows pre-gathered once per half-update; the fast path for
+    real workloads.
 
 Exact zeros (the headline >90% factor sparsity) come from the projection
 ``max(0, .)`` plus the fixed-set mask, mirroring the reference's clamp
@@ -40,14 +49,16 @@ poismf.c:393-403.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Callable, Optional, Sequence, Tuple
 
+import numpy as _np
 import jax
 import jax.numpy as jnp
 from jax import lax
 
 from ..sparse import CountsMatrix
 from ..ops import objective as obj
+from ..ops import ell as ell_ops
 
 # Constants from the reference call sites (poismf.c:383-391, tnc.c:401-436)
 TNC_FTOL = 1e-4  # explicit at poismf.c:388
@@ -62,66 +73,28 @@ def _maxcgit(k: int) -> int:
     return int(min(50.0, max(1.0, k / 2.0)))
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "maxupd",
-        "w_mult",
-        "reuse_prev",
-        "track_unchanged",
-        "nnz_chunk",
-        "max_outer",
-        "return_stats",
-    ),
-)
-def tncg_update(
-    A: jnp.ndarray,
-    B: jnp.ndarray,
-    X: CountsMatrix,
-    Bsum: jnp.ndarray,
+def _tncg_core(
+    x0: jnp.ndarray,
+    has_nnz: jnp.ndarray,
+    n_rows: int,
+    fgh: Callable,  # x -> (f [R], g [R,k], w2 (opaque pytree), diag [R,k])
+    f_only: Callable,  # x -> f [R]
+    hvp_with: Callable,  # (w2, fixed_mask) -> (V -> HV)
     *,
-    l2_reg: float,
-    w_mult: float = 1.0,
-    maxupd: int = 750,
-    reuse_prev: bool = False,
-    track_unchanged: bool = False,
-    nnz_chunk: Optional[int] = None,
-    max_outer: int = 0,
-    return_stats: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """One TNCG pass over every row of A (B fixed).
-
-    Returns ``(A_new, share_unchanged)`` where ``share_unchanged`` is the
-    fraction of true rows whose squared change is <= 1e-4 (for the
-    early-stop rule; 0.0 when ``track_unchanged`` is False).
-    """
-    R, k = A.shape
-    dtype = A.dtype
-    maxcg = _maxcgit(k)
-    if max_outer <= 0:
-        # each outer iteration costs >= 3 evals (grad + >=1 HVP + >=1 trial);
-        # cap keeps the while_loop bounded for tiny maxupd values
-        max_outer = max(4, maxupd // 3)
-
-    import numpy as _np
+    maxupd: int,
+    max_outer: int,
+    maxcg: int,
+    track_unchanged: bool,
+    x_prev_for_unchanged: Optional[jnp.ndarray],
+    true_row_mask: Optional[jnp.ndarray] = None,
+):
+    """Backend-agnostic batched truncated-Newton driver (see module doc)."""
+    R, k = x0.shape
+    dtype = x0.dtype
 
     rteps = float(_np.sqrt(_np.finfo(_np.dtype(str(dtype))).eps))
     pgtol = 1e-2 * (rteps ** 0.5)  # tnc.c:431-433 with accuracy=rteps
     xtol = rteps
-
-    def fgh(Acur):
-        # fused f / grad / HVP-weights / Hessian-diagonal: ONE edge pass
-        return obj.poisson_fgh(Acur, B, X, Bsum, l2_reg, w_mult, nnz_chunk)
-
-    def f_only(Acur):
-        return obj.poisson_f(Acur, B, X, Bsum, l2_reg, w_mult, nnz_chunk)
-
-    has_nnz = X.row_nnz > 0
-    if reuse_prev:
-        x0 = jnp.where(has_nnz[:, None], A, 0.0)
-    else:
-        # init to 1e-3 (poismf.c:379-381)
-        x0 = jnp.where(has_nnz[:, None], jnp.full_like(A, 1e-3), 0.0)
 
     f0, g0, w20, diag0 = fgh(x0)
     state0 = dict(
@@ -148,17 +121,15 @@ def tncg_update(
         conv_pg = pgnorm <= pgtol * (1.0 + jnp.abs(f))
         active = active & ~conv_pg
 
-        # --- Hessian data at x (computed fused with f/g on entry) ---
-        w2 = s["w2"]
         inv_diag = 1.0 / jnp.maximum(s["diag"], 1e-12)
+        hvp_raw = hvp_with(s["w2"])
 
         def hvp(V):
             Vm = jnp.where(fixed, 0.0, V)
-            HV = obj.poisson_hvp(Vm, B, X, w2, l2_reg, nnz_chunk)
-            return jnp.where(fixed, 0.0, HV)
+            return jnp.where(fixed, 0.0, hvp_raw(Vm))
 
         # --- inner preconditioned CG for  H d = -g  on free coordinates ---
-        r = pgrad  # residual of H d + g with d = 0 is g (projected)
+        r = pgrad
         z = jnp.where(fixed, 0.0, inv_diag * r)
         p = -z
         rz = jnp.sum(r * z, axis=1)
@@ -173,8 +144,7 @@ def tncg_update(
         )
 
         def cg_cond(t):
-            # stop as soon as every row's CG has hit its forcing tolerance
-            # (the fori_loop equivalent burned maxcg HVPs regardless)
+            # stop as soon as every row's CG hit its forcing tolerance
             return (t["i"] < maxcg) & jnp.any(t["run"])
 
         def cg_body(t):
@@ -189,7 +159,9 @@ def tncg_update(
             d_fb = jnp.where(
                 (~curv_ok & t["run"] & first)[:, None], t["p"], t["d"]
             )
-            alpha = jnp.where(curv_ok, t["rz"] / jnp.where(curv_ok, pHp, 1.0), 0.0)
+            alpha = jnp.where(
+                curv_ok, t["rz"] / jnp.where(curv_ok, pHp, 1.0), 0.0
+            )
             step_mask = (t["run"] & curv_ok)[:, None]
             d_new = jnp.where(step_mask, t["d"] + alpha[:, None] * t["p"], d_fb)
             r_new = jnp.where(step_mask, t["r"] + alpha[:, None] * Hp, t["r"])
@@ -200,7 +172,6 @@ def tncg_update(
                 step_mask, -z_new + beta[:, None] * t["p"], t["p"]
             )
             rnorm = jnp.sum(r_new * r_new, axis=1)
-            # forcing-term stop: ||r|| <= eta * ||r0||  (quadratic-ish zone)
             still = t["run"] & curv_ok & (rnorm > (TNC_ETA ** 2) * r0norm)
             hvps = t["hvps"] + t["run"].astype(jnp.int32)
             return dict(d=d_new, r=r_new, z=z_new, p=p_new, rz=rz_new,
@@ -259,7 +230,9 @@ def tncg_update(
         # --- convergence tests (tnc.c:909-929, relative like fscale) ---
         difnew = f - f_next
         step_sq = jnp.sum((x_next - x) ** 2, axis=1)
-        conv_f = moved & (jnp.abs(difnew) <= TNC_FTOL * (1.0 + jnp.abs(f_next)))
+        conv_f = moved & (
+            jnp.abs(difnew) <= TNC_FTOL * (1.0 + jnp.abs(f_next))
+        )
         conv_x = moved & (jnp.sqrt(step_sq) <= xtol)
         ls_fail = active & ~moved  # LSFAIL -> terminate row
         budget = ls["nfeval"] >= maxupd
@@ -289,13 +262,160 @@ def tncg_update(
         # >= 95% of TRUE rows moved by <= 1e-4 (squared L2), poismf.c:393-403.
         # The reference only counts processed rows (nnz > 0) as unchanged and
         # divides by dimA; mirror that (padding rows excluded entirely).
-        true_row = jnp.arange(R) < X.n_rows
-        delta = x_final - jnp.where(has_nnz[:, None], A, 0.0)
+        true_row = (
+            jnp.arange(R) < n_rows if true_row_mask is None else true_row_mask
+        )
+        delta = x_final - x_prev_for_unchanged
         small = (delta * delta).sum(axis=1) <= 1e-4
         unchanged = jnp.sum(small & has_nnz & true_row)
-        share = unchanged.astype(jnp.float32) / float(max(X.n_rows, 1))
+        share = unchanged.astype(jnp.float32) / float(max(n_rows, 1))
     else:
         share = jnp.zeros((), dtype=jnp.float32)
+    return x_final, share, out
+
+
+# ---------------------------------------------------------------------------
+# Flat sorted-COO entry point
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "maxupd",
+        "w_mult",
+        "reuse_prev",
+        "track_unchanged",
+        "nnz_chunk",
+        "max_outer",
+        "return_stats",
+    ),
+)
+def tncg_update(
+    A: jnp.ndarray,
+    B: jnp.ndarray,
+    X: CountsMatrix,
+    Bsum: jnp.ndarray,
+    *,
+    l2_reg: float,
+    w_mult: float = 1.0,
+    maxupd: int = 750,
+    reuse_prev: bool = False,
+    track_unchanged: bool = False,
+    nnz_chunk: Optional[int] = None,
+    max_outer: int = 0,
+    return_stats: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One TNCG pass over every row of A (B fixed), flat-COO backend.
+
+    Returns ``(A_new, share_unchanged)`` where ``share_unchanged`` is the
+    fraction of true rows whose squared change is <= 1e-4 (for the
+    early-stop rule; 0.0 when ``track_unchanged`` is False).
+    """
+    R, k = A.shape
+    maxcg = _maxcgit(k)
+    if max_outer <= 0:
+        max_outer = max(4, maxupd // 3)
+
+    def fgh(Acur):
+        return obj.poisson_fgh(Acur, B, X, Bsum, l2_reg, w_mult, nnz_chunk)
+
+    def f_only(Acur):
+        return obj.poisson_f(Acur, B, X, Bsum, l2_reg, w_mult, nnz_chunk)
+
+    def hvp_with(w2):
+        def hvp(V):
+            return obj.poisson_hvp(V, B, X, w2, l2_reg, nnz_chunk)
+
+        return hvp
+
+    has_nnz = X.row_nnz > 0
+    if reuse_prev:
+        x0 = jnp.where(has_nnz[:, None], A, 0.0)
+    else:
+        # init to 1e-3 (poismf.c:379-381)
+        x0 = jnp.where(has_nnz[:, None], jnp.full_like(A, 1e-3), 0.0)
+
+    x_final, share, out = _tncg_core(
+        x0, has_nnz, X.n_rows, fgh, f_only, hvp_with,
+        maxupd=maxupd, max_outer=max_outer, maxcg=maxcg,
+        track_unchanged=track_unchanged,
+        x_prev_for_unchanged=jnp.where(has_nnz[:, None], A, 0.0),
+    )
+    if return_stats:
+        return x_final, share, dict(
+            outer_iters=out["it"], nfeval=out["nfeval"],
+            still_active=jnp.sum(out["active"]),
+        )
+    return x_final, share
+
+
+# ---------------------------------------------------------------------------
+# Planar-ELL entry point (gather-free hot loop)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "maxupd",
+        "w_mult",
+        "reuse_prev",
+        "track_unchanged",
+        "max_outer",
+        "return_stats",
+    ),
+)
+def tncg_update_ell(
+    A_perm: jnp.ndarray,
+    planes: Tuple[jnp.ndarray, ...],
+    ell: ell_ops.EllMatrix,
+    Bsum: jnp.ndarray,
+    *,
+    l2_reg: float,
+    w_mult: float = 1.0,
+    maxupd: int = 750,
+    reuse_prev: bool = False,
+    track_unchanged: bool = False,
+    max_outer: int = 0,
+    return_stats: bool = False,
+):
+    """One TNCG pass over every (permuted) row, planar-ELL backend.
+
+    ``A_perm`` and a 2D ``Bsum`` must be in the ELL's permuted row order;
+    ``planes`` is :func:`poismf_tpu.ops.ell.gather_planes` of the fixed
+    matrix (computed once per half-update).
+    """
+    R, k = A_perm.shape
+    maxcg = _maxcgit(k)
+    if max_outer <= 0:
+        max_outer = max(4, maxupd // 3)
+
+    def fgh(Acur):
+        return ell_ops.fgh_ell(Acur, planes, ell, Bsum, l2_reg, w_mult)
+
+    def f_only(Acur):
+        return ell_ops.f_ell(Acur, planes, ell, Bsum, l2_reg, w_mult)
+
+    def hvp_with(w2s):
+        def hvp(V):
+            return ell_ops.hvp_ell(V, planes, ell, w2s, l2_reg)
+
+        return hvp
+
+    has_nnz = ell.row_nnz_perm > 0
+    if reuse_prev:
+        x0 = jnp.where(has_nnz[:, None], A_perm, 0.0)
+    else:
+        x0 = jnp.where(has_nnz[:, None], jnp.full_like(A_perm, 1e-3), 0.0)
+
+    x_final, share, out = _tncg_core(
+        x0, has_nnz, ell.n_rows, fgh, f_only, hvp_with,
+        maxupd=maxupd, max_outer=max_outer, maxcg=maxcg,
+        track_unchanged=track_unchanged,
+        x_prev_for_unchanged=jnp.where(has_nnz[:, None], A_perm, 0.0),
+        true_row_mask=has_nnz,  # ELL slots with nnz are exactly the true rows
+    )
     if return_stats:
         return x_final, share, dict(
             outer_iters=out["it"], nfeval=out["nfeval"],

