@@ -19,10 +19,15 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# Persistent XLA compilation cache: the tncg while_loop program is large and
+# first-compiles in minutes over the tunneled TPU; repeat runs hit the cache.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 BASELINE_FIT_S = 359.0  # 5:59 wall, BASELINE.md row 3
 

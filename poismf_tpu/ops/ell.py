@@ -32,29 +32,43 @@ import numpy as np
 ROW_TILE = 128
 # Smallest nnz bucket width.
 MIN_P = 4
+# Rows with more nonzeros than this are SPLIT into chunks of P_MAX
+# ("extension" virtual rows that scatter-add into the primary row's slot).
+# Caps the worst-case bucket padding at 128 * P_MAX entries under power-law
+# row lengths — the TPU answer to the reference's "long-context" axis
+# (SURVEY.md section 5: nnz-per-row is the scaling dimension here).
+P_MAX = 2048
 
 
 @dataclasses.dataclass(frozen=True)
 class EllBucket:
-    """One nnz bucket: rows [offset, offset + n_rows) of the permuted order,
+    """One nnz bucket: virtual rows at ELL slots [offset, offset + n_rows),
     each holding at most P nonzeros.  ``cols`` is row-major [R_b, P] for the
     one-off gather; ``vals`` is planar [P, R_b] for the kernels.  Padding
-    entries have ``col == 0`` and ``val == 0``."""
+    entries have ``col == 0`` and ``val == 0``.
+
+    ``src`` is None for a pure-primary bucket (slots are their own rows);
+    otherwise ``src[i]`` is the ELL slot holding the factor vector this
+    bucket row reads from / accumulates into (long-row extension chunks
+    point at their primary slot; padding rows point at the zero tail)."""
 
     offset: int
     n_rows: int  # padded to ROW_TILE
     P: int
     cols: Any  # [R_b, P] int32
     vals: Any  # [P, R_b] dtype
+    src: Any = None  # Optional [R_b] int32
 
     def tree_flatten(self):
-        return (self.cols, self.vals), (self.offset, self.n_rows, self.P)
+        return (self.cols, self.vals, self.src), (
+            self.offset, self.n_rows, self.P,
+        )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        cols, vals = children
+        cols, vals, src = children
         offset, n_rows, P = aux
-        return cls(offset, n_rows, P, cols, vals)
+        return cls(offset, n_rows, P, cols, vals, src)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -164,52 +178,76 @@ def build_ell(
     nnz = int(rows.shape[0])
 
     counts = np.bincount(rows, minlength=n_rows).astype(np.int64)
-    order = np.argsort(-counts, kind="stable").astype(np.int64)  # desc nnz
-    # compact sorted position of every original row
-    pos_of_row = np.empty(n_rows_pad, dtype=np.int64)
-    pos_of_row[order] = np.arange(n_rows, dtype=np.int64)
-    pos_of_row[n_rows:] = np.arange(n_rows, n_rows_pad)
 
-    counts_sorted = counts[order]
+    # ---- virtual rows: rows longer than P_MAX split into chunks ----
+    n_chunks = -(-counts // P_MAX)  # ceil; 0 for empty rows
+    v_offsets = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(n_chunks, out=v_offsets[1:])
+    n_virtual = int(v_offsets[-1])
+    orig_of_v = np.repeat(
+        np.arange(n_rows, dtype=np.int64), n_chunks
+    )
+    chunk_of_v = np.arange(n_virtual, dtype=np.int64) - v_offsets[orig_of_v]
+    vcounts = np.minimum(P_MAX, counts[orig_of_v] - chunk_of_v * P_MAX)
+    primary_of_v = v_offsets[orig_of_v]
 
-    # CSR-style slot within each row for every nonzero
+    # CSR-style slot within each original row for every nonzero
     sort_idx = np.argsort(rows, kind="stable")
     r_sorted = rows[sort_idx]
     starts = np.zeros(n_rows + 1, dtype=np.int64)
     np.cumsum(counts, out=starts[1:])
     slot = np.arange(nnz, dtype=np.int64) - starts[r_sorted]
+    vrow_e = v_offsets[r_sorted] + slot // P_MAX  # virtual row per edge
+    vslot_e = slot % P_MAX
 
-    # bucket the sorted rows (widths are powers of two; the MIN_P bucket
-    # absorbs every remaining nonempty row)
+    order = np.argsort(-vcounts, kind="stable").astype(np.int64)
+    pos_of_v = np.empty(n_virtual, dtype=np.int64)
+    pos_of_v[order] = np.arange(n_virtual, dtype=np.int64)
+    counts_sorted = vcounts[order]
+
     spans = _plan_buckets(counts_sorted)
-    buckets: List[EllBucket] = []
-    for start, end, P, off in spans:
-        Rb = _ceil_to(end - start, ROW_TILE)
-        bcols = np.zeros((Rb, P), dtype=np.int32)
-        bvals = np.zeros((Rb, P), dtype=dtype)
-        sel = (pos_of_row[r_sorted] >= start) & (pos_of_row[r_sorted] < end)
-        rr = (pos_of_row[r_sorted[sel]] - start).astype(np.int64)
-        ss = slot[sel]
-        bcols[rr, ss] = cols[sort_idx[sel]].astype(np.int32)
-        bvals[rr, ss] = vals[sort_idx[sel]]
-        buckets.append(
-            EllBucket(
-                offset=off, n_rows=Rb, P=P,
-                cols=bcols, vals=np.ascontiguousarray(bvals.T),
-            )
-        )
-
-    # ELL row space: padded buckets back-to-back + a guaranteed zero tail
     covered = (spans[-1][3] + _ceil_to(spans[-1][1] - spans[-1][0], ROW_TILE)
                ) if spans else 0
     n_rows_ell = covered + ROW_TILE
+
+    # ELL slot of every virtual row
+    ell_of_pos = np.full(n_virtual, n_rows_ell - 1, dtype=np.int64)
+    for s, e, _P, off in spans:
+        ell_of_pos[s:e] = off + np.arange(e - s, dtype=np.int64)
+    ell_of_v = ell_of_pos[pos_of_v]
+    src_of_v = ell_of_v[primary_of_v]
+    is_primary = chunk_of_v == 0
+
     perm = np.full(n_rows_ell, n_rows_pad, dtype=np.int64)  # pad sentinel
     inv_perm = np.full(n_rows_pad, n_rows_ell - 1, dtype=np.int64)
     row_nnz_perm = np.zeros(n_rows_ell, dtype=np.int32)
-    for s, e, _P, off in spans:
-        perm[off : off + (e - s)] = order[s:e]
-        inv_perm[order[s:e]] = off + np.arange(e - s, dtype=np.int64)
-        row_nnz_perm[off : off + (e - s)] = counts_sorted[s:e]
+    perm[ell_of_v[is_primary]] = orig_of_v[is_primary]
+    inv_perm[orig_of_v[is_primary]] = ell_of_v[is_primary]
+    row_nnz_perm[ell_of_v[is_primary]] = counts[orig_of_v[is_primary]]
+
+    pos_e = pos_of_v[vrow_e]  # sorted position of each edge's virtual row
+    buckets: List[EllBucket] = []
+    for s, e, P, off in spans:
+        Rb = _ceil_to(e - s, ROW_TILE)
+        bcols = np.zeros((Rb, P), dtype=np.int32)
+        bvals = np.zeros((Rb, P), dtype=dtype)
+        sel = (pos_e >= s) & (pos_e < e)
+        rr = pos_e[sel] - s
+        ss = vslot_e[sel]
+        bcols[rr, ss] = cols[sort_idx[sel]].astype(np.int32)
+        bvals[rr, ss] = vals[sort_idx[sel]]
+        all_primary = bool(np.all(is_primary[order[s:e]]))
+        if all_primary:
+            src = None
+        else:
+            src = np.full(Rb, n_rows_ell - 1, dtype=np.int32)
+            src[: e - s] = src_of_v[order[s:e]].astype(np.int32)
+        buckets.append(
+            EllBucket(
+                offset=off, n_rows=Rb, P=P,
+                cols=bcols, vals=np.ascontiguousarray(bvals.T), src=src,
+            )
+        )
 
     if to_device:
         import jax.numpy as jnp
@@ -218,6 +256,7 @@ def build_ell(
             EllBucket(
                 b.offset, b.n_rows, b.P,
                 jnp.asarray(b.cols), jnp.asarray(b.vals),
+                None if b.src is None else jnp.asarray(b.src),
             )
             for b in buckets
         ]
@@ -251,15 +290,28 @@ def row_positions(
     counts = np.bincount(
         np.asarray(rows, dtype=np.int64), minlength=n_rows
     ).astype(np.int64)
-    order = np.argsort(-counts, kind="stable")
-    counts_sorted = counts[order]
-    spans = _plan_buckets(counts_sorted)
+    n_chunks = -(-counts // P_MAX)
+    v_offsets = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(n_chunks, out=v_offsets[1:])
+    n_virtual = int(v_offsets[-1])
+    orig_of_v = np.repeat(np.arange(n_rows, dtype=np.int64), n_chunks)
+    chunk_of_v = np.arange(n_virtual, dtype=np.int64) - v_offsets[orig_of_v]
+    vcounts = np.minimum(P_MAX, counts[orig_of_v] - chunk_of_v * P_MAX)
+
+    order = np.argsort(-vcounts, kind="stable")
+    pos_of_v = np.empty(n_virtual, dtype=np.int64)
+    pos_of_v[order] = np.arange(n_virtual, dtype=np.int64)
+    spans = _plan_buckets(vcounts[order])
     covered = (spans[-1][3] + _ceil_to(spans[-1][1] - spans[-1][0], ROW_TILE)
                ) if spans else 0
     n_rows_ell = covered + ROW_TILE
-    pos = np.full(n_rows_pad, n_rows_ell - 1, dtype=np.int64)
+    ell_of_pos = np.full(n_virtual, n_rows_ell - 1, dtype=np.int64)
     for s, e, _P, off in spans:
-        pos[order[s:e]] = off + np.arange(e - s, dtype=np.int64)
+        ell_of_pos[s:e] = off + np.arange(e - s, dtype=np.int64)
+    ell_of_v = ell_of_pos[pos_of_v]
+    is_primary = chunk_of_v == 0
+    pos = np.full(n_rows_pad, n_rows_ell - 1, dtype=np.int64)
+    pos[orig_of_v[is_primary]] = ell_of_v[is_primary]
     return pos
 
 
@@ -308,7 +360,7 @@ def adjusted_bsum_ell(
         valid = (b.vals > 0).astype(bg.dtype)  # [P, R_b]
         parts.append(jnp.sum(valid[None] * bg, axis=1).T)  # [R_b, k]
     k = planes[0].shape[0] if planes else Bsum.shape[-1]
-    row_b = _assemble(ell, parts, 0.0, (k,), Bsum.dtype)
+    row_b = _assemble(ell, parts, (k,), Bsum.dtype)
     return Bsum[None, :] + (w_mult - 1.0) * row_b
 
 
@@ -332,21 +384,34 @@ def gather_planes(M: "Any", ell: EllMatrix) -> Tuple[Any, ...]:
     return tuple(planes)
 
 
-def _bucket_slices(ell: EllMatrix, A_perm):
-    for b in ell.buckets:
-        yield b, A_perm[b.offset : b.offset + b.n_rows]
-
-
-def _assemble(ell: EllMatrix, pieces: Sequence[Any], fill, shape, dtype):
-    """Concatenate per-bucket row outputs back to [n_rows_ell, ...]."""
+def _bucket_x(A_perm, b: EllBucket):
+    """The factor rows a bucket reads: its own contiguous slot range for
+    pure-primary buckets, or a (small) gather through ``src`` when the bucket
+    contains long-row extension chunks."""
     import jax.numpy as jnp
+    from jax import lax
 
-    covered = sum(b.n_rows for b in ell.buckets)
-    rest = ell.n_rows_ell - covered
-    parts = list(pieces)
-    if rest > 0:
-        parts.append(jnp.full((rest,) + shape, fill, dtype=dtype))
-    return jnp.concatenate(parts, axis=0)
+    if b.src is None:
+        return lax.dynamic_slice_in_dim(A_perm, b.offset, b.n_rows, axis=0)
+    return jnp.take(A_perm, b.src, axis=0)
+
+
+def _assemble(ell: EllMatrix, pieces: Sequence[Any], shape, dtype):
+    """Per-bucket row outputs -> [n_rows_ell, ...].  Pure-primary buckets
+    write their contiguous slot range; mixed buckets scatter-ADD through
+    ``src`` so extension chunks accumulate into their primary row."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    out = jnp.zeros((ell.n_rows_ell,) + shape, dtype=dtype)
+    for b, part in zip(ell.buckets, pieces):
+        if b.src is None:
+            out = lax.dynamic_update_slice(
+                out, part.astype(dtype), (b.offset,) + (0,) * len(shape)
+            )
+        else:
+            out = out.at[b.src].add(part.astype(dtype))
+    return out
 
 
 PRED_EPS = 1e-30
@@ -375,9 +440,8 @@ def fgh_ell(
     k = A_perm.shape[1]
     dtype = A_perm.dtype
     neg_llks, grads, diags, w2s = [], [], [], []
-    for b, Ab in _bucket_slices(ell, A_perm):
-        bg = planes[len(w2s)]  # [k, P, R_b]
-        A_T = Ab.T  # [k, R_b]
+    for b, bg in zip(ell.buckets, planes):
+        A_T = _bucket_x(A_perm, b).T  # [k, R_b]
         pred = jnp.sum(bg * A_T[:, None, :], axis=0)  # [P, R_b]
         safe = jnp.maximum(pred, PRED_EPS)
         valid = b.vals > 0
@@ -389,9 +453,9 @@ def fgh_ell(
         diags.append(jnp.sum(w2[None] * (bg * bg), axis=1).T)  # [R_b, k]
         w2s.append(w2)
 
-    neg_llk = _assemble(ell, neg_llks, 0.0, (), dtype)
-    grad_data = _assemble(ell, grads, 0.0, (k,), dtype)
-    diag_data = _assemble(ell, diags, 0.0, (k,), dtype)
+    neg_llk = _assemble(ell, neg_llks, (), dtype)
+    grad_data = _assemble(ell, grads, (k,), dtype)
+    diag_data = _assemble(ell, diags, (k,), dtype)
 
     if w_mult != 1.0:
         neg_llk = w_mult * neg_llk
@@ -423,12 +487,12 @@ def f_ell(
 
     dtype = A_perm.dtype
     neg_llks = []
-    for b, Ab in _bucket_slices(ell, A_perm):
-        bg = planes[len(neg_llks)]
-        pred = jnp.sum(bg * Ab.T[:, None, :], axis=0)
+    for b, bg in zip(ell.buckets, planes):
+        A_T = _bucket_x(A_perm, b).T
+        pred = jnp.sum(bg * A_T[:, None, :], axis=0)
         logt = jnp.where(b.vals > 0, b.vals * jnp.log(pred), 0.0)
         neg_llks.append(-jnp.sum(logt, axis=0))
-    neg_llk = _assemble(ell, neg_llks, 0.0, (), dtype)
+    neg_llk = _assemble(ell, neg_llks, (), dtype)
     if w_mult != 1.0:
         neg_llk = w_mult * neg_llk
     if Bsum.ndim == 1:
@@ -451,11 +515,11 @@ def hvp_ell(
 
     k = V_perm.shape[1]
     outs = []
-    for (b, Vb), w2 in zip(_bucket_slices(ell, V_perm), w2s):
-        bg = planes[len(outs)]
-        bv = jnp.sum(bg * Vb.T[:, None, :], axis=0)  # [P, R_b]
+    for b, bg, w2 in zip(ell.buckets, planes, w2s):
+        V_T = _bucket_x(V_perm, b).T
+        bv = jnp.sum(bg * V_T[:, None, :], axis=0)  # [P, R_b]
         outs.append(jnp.sum((w2 * bv)[None] * bg, axis=1).T)  # [R_b, k]
-    data = _assemble(ell, outs, 0.0, (k,), V_perm.dtype)
+    data = _assemble(ell, outs, (k,), V_perm.dtype)
     return 2.0 * l2_reg * V_perm + data
 
 

@@ -1,0 +1,148 @@
+"""Planar-ELL layout: kernel parity vs the flat-COO kernels, row splitting,
+and end-to-end tncg fit parity between layouts."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tests.conftest import synth_counts
+from poismf_tpu.sparse import build_both_orientations
+from poismf_tpu.ops import objective as obj
+from poismf_tpu.ops import ell as ell_ops
+from poismf_tpu.train import FitParams, initialize_factors, run_poismf
+
+
+def _setup(rows, cols, vals, n_u, n_i, k=7, seed=3):
+    by_user, by_item = build_both_orientations(rows, cols, vals, n_u, n_i)
+    r = np.random.default_rng(seed)
+    A = jnp.asarray(
+        r.uniform(0.3, 0.31, (by_user.n_rows_pad, k)).astype(np.float32)
+    )
+    B = jnp.asarray(
+        r.uniform(0.3, 0.31, (by_item.n_rows_pad, k)).astype(np.float32)
+    )
+    return by_user, by_item, A, B
+
+
+def _check_parity(by_user, A, B, n_u, n_i):
+    Bsum = obj.make_bsum(B, n_i, 0.5)
+    nz = np.asarray(by_user.row_nnz[:n_u]) > 0
+    ell = ell_ops.ell_from_counts(by_user)
+    planes = ell_ops.gather_planes(B, ell)
+    A_p = ell_ops.permute_rows(A, ell.perm)
+    inv = ell.inv_perm
+
+    def unp(x):
+        return np.asarray(jnp.take(x, inv, axis=0))[:n_u][nz]
+
+    def ref(x):
+        return np.asarray(x)[:n_u][nz]
+
+    f_r, g_r, _, d_r = obj.poisson_fgh(A, B, by_user, Bsum, 1e2)
+    f_e, g_e, w2_e, d_e = ell_ops.fgh_ell(A_p, planes, ell, Bsum, 1e2)
+    np.testing.assert_allclose(unp(f_e), ref(f_r), rtol=5e-5, atol=1e-2)
+    np.testing.assert_allclose(unp(g_e), ref(g_r), rtol=5e-5, atol=1e-2)
+    np.testing.assert_allclose(unp(d_e), ref(d_r), rtol=5e-5, atol=1e-2)
+
+    f2_r = obj.poisson_f(A, B, by_user, Bsum, 1e2)
+    f2_e = ell_ops.f_ell(A_p, planes, ell, Bsum, 1e2)
+    np.testing.assert_allclose(unp(f2_e), ref(f2_r), rtol=5e-5, atol=1e-2)
+
+    rng = np.random.default_rng(0)
+    V = jnp.asarray(rng.standard_normal(A.shape).astype(np.float32))
+    w2c = obj.poisson_hvp_weights(A, B, by_user)
+    h_r = obj.poisson_hvp(V, B, by_user, w2c, 1e2)
+    h_e = ell_ops.hvp_ell(
+        ell_ops.permute_rows(V, ell.perm), planes, ell, w2_e, 1e2
+    )
+    np.testing.assert_allclose(unp(h_e), ref(h_r), rtol=5e-4, atol=5e-2)
+
+    ab_r = obj.adjusted_bsum(B, Bsum, by_user, 1.5)
+    ab_e = ell_ops.adjusted_bsum_ell(planes, ell, Bsum, 1.5)
+    np.testing.assert_allclose(unp(ab_e), ref(ab_r), rtol=5e-5, atol=1e-2)
+    return ell
+
+
+def test_ell_kernel_parity(rng):
+    rows, cols, vals = synth_counts(rng, n_users=200, n_items=80,
+                                    density=0.08)
+    by_user, _, A, B = _setup(rows, cols, vals, 200, 80)
+    ell = _check_parity(by_user, A, B, 200, 80)
+    assert all(b.src is None for b in ell.buckets)  # no long rows here
+
+
+def test_ell_row_splitting(rng, monkeypatch):
+    monkeypatch.setattr(ell_ops, "P_MAX", 16)
+    rows = np.concatenate([
+        np.zeros(70, np.int32),
+        rng.integers(0, 50, 400).astype(np.int32),
+    ])
+    cols = np.concatenate([
+        np.arange(70, dtype=np.int32) % 75,
+        rng.integers(0, 75, 400).astype(np.int32),
+    ])
+    key = rows.astype(np.int64) * 75 + cols
+    _, idx = np.unique(key, return_index=True)
+    rows, cols = rows[idx], cols[idx]
+    vals = (rng.poisson(3.0, rows.shape[0]) + 1.0).astype(np.float64)
+    by_user, _, A, B = _setup(rows, cols, vals, 50, 75)
+    ell = _check_parity(by_user, A, B, 50, 75)
+    assert any(b.src is not None for b in ell.buckets)  # splitting happened
+
+
+def test_ell_fit_matches_coo(rng):
+    rows, cols, vals = synth_counts(rng, n_users=150, n_items=60,
+                                    density=0.1)
+    by_user, by_item, _, _ = _setup(rows, cols, vals, 150, 60)
+    k = 7
+    r = np.random.default_rng(1)
+    A0 = initialize_factors(150, by_user.n_rows_pad, k, r, np.float32)
+    B0 = initialize_factors(60, by_item.n_rows_pad, k, r, np.float32)
+    common = dict(k=k, method="tncg", niter=4, l2_reg=1e2, maxupd=100)
+    Ac, Bc, _ = run_poismf(A0, B0, by_user, by_item,
+                           FitParams(layout="coo", **common))
+    Ae, Be, _ = run_poismf(A0, B0, by_user, by_item,
+                           FitParams(layout="ell", **common))
+    ll_c = float(obj.eval_llk(Ac, Bc, by_user))
+    ll_e = float(obj.eval_llk(Ae, Be, by_user))
+    assert abs(ll_c - ll_e) / abs(ll_c) < 1e-4
+
+
+def test_ell_fit_with_long_rows(rng, monkeypatch):
+    monkeypatch.setattr(ell_ops, "P_MAX", 32)
+    rows, cols, vals = synth_counts(rng, n_users=60, n_items=200,
+                                    density=0.4)  # rows avg ~80 nnz > P_MAX
+    by_user, by_item, _, _ = _setup(rows, cols, vals, 60, 200)
+    k = 5
+    r = np.random.default_rng(1)
+    A0 = initialize_factors(60, by_user.n_rows_pad, k, r, np.float32)
+    B0 = initialize_factors(200, by_item.n_rows_pad, k, r, np.float32)
+    common = dict(k=k, method="tncg", niter=3, l2_reg=1e2, maxupd=80)
+    Ac, Bc, _ = run_poismf(A0, B0, by_user, by_item,
+                           FitParams(layout="coo", **common))
+    Ae, Be, _ = run_poismf(A0, B0, by_user, by_item,
+                           FitParams(layout="ell", **common))
+    ll_c = float(obj.eval_llk(Ac, Bc, by_user))
+    ll_e = float(obj.eval_llk(Ae, Be, by_user))
+    assert abs(ll_c - ll_e) / abs(ll_c) < 1e-3
+
+
+def test_ell_weighted_fit(rng):
+    """w_mult != 1 exercises adjusted_bsum_ell inside the fit."""
+    rows, cols, vals = synth_counts(rng, n_users=100, n_items=40,
+                                    density=0.1)
+    by_user, by_item, _, _ = _setup(rows, cols, vals, 100, 40)
+    k = 5
+    r = np.random.default_rng(1)
+    A0 = initialize_factors(100, by_user.n_rows_pad, k, r, np.float32)
+    B0 = initialize_factors(40, by_item.n_rows_pad, k, r, np.float32)
+    common = dict(k=k, method="tncg", niter=3, l2_reg=1e2, maxupd=80,
+                  w_mult=2.0)
+    Ac, Bc, _ = run_poismf(A0, B0, by_user, by_item,
+                           FitParams(layout="coo", **common))
+    Ae, Be, _ = run_poismf(A0, B0, by_user, by_item,
+                           FitParams(layout="ell", **common))
+    ll_c = float(obj.eval_llk(Ac, Bc, by_user))
+    ll_e = float(obj.eval_llk(Ae, Be, by_user))
+    assert abs(ll_c - ll_e) / abs(ll_c) < 1e-3
