@@ -61,7 +61,7 @@ class PoisMF:
                  reindex=True, copy_data=True, produce_dicts=False,
                  use_float=True, handle_interrupt=True,
                  nthreads=-1, n_jobs=None,
-                 mesh=None, nnz_chunk=None):
+                 mesh=None, nnz_chunk=None, layout="auto"):
         self.k = k
         self.method = method
         self.l2_reg = l2_reg
@@ -83,6 +83,7 @@ class PoisMF:
         self.n_jobs = n_jobs
         self.mesh = mesh
         self.nnz_chunk = nnz_chunk
+        self.layout = layout
         self._reset_state()
 
     # ------------------------------------------------------------------ state
@@ -122,6 +123,7 @@ class PoisMF:
             reuse_prev=self.reuse_prev,
             w_mult=self.weight_mult,
             nnz_chunk=self.nnz_chunk,
+            layout=self.layout,
         ).resolved()
 
     # ------------------------------------------------------------------ fitted
