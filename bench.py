@@ -90,6 +90,8 @@ def main():
         reuse_prev=True, early_stop=True,
     )
 
+    verbose = os.environ.get("POISMF_BENCH_VERBOSE")
+
     def fresh_fit():
         nprng = np.random.default_rng(1)
         A = initialize_factors(
@@ -99,7 +101,17 @@ def main():
             n_items, by_item.n_rows_pad, K, nprng, np.float32
         )
         t0 = time.time()
-        A, B, _ = run_poismf(A, B, by_user, by_item, params)
+        marks = [t0]
+
+        def cb(epoch, A_, B_):
+            jax.block_until_ready((A_, B_))
+            marks.append(time.time())
+            if verbose:
+                print(f"#   epoch {epoch}: {marks[-1]-marks[-2]:.1f}s",
+                      file=sys.stderr, flush=True)
+
+        A, B, _ = run_poismf(A, B, by_user, by_item, params,
+                             callback=cb if verbose else None)
         jax.block_until_ready((A, B))
         return time.time() - t0, A, B
 
@@ -110,12 +122,15 @@ def main():
     fit_s, A, B = fresh_fit()
     print(f"# timed fit: {fit_s:.1f}s", file=sys.stderr)
 
-    from poismf_tpu.ops.objective import eval_llk
+    try:
+        from poismf_tpu.ops.objective import eval_llk
 
-    ll = float(eval_llk(A, B, by_user))
-    sparsity = float(np.mean(np.asarray(A[:n_users]) == 0.0))
-    print(f"# train LL: {ll:.6g}  A-sparsity: {sparsity:.3f}",
-          file=sys.stderr)
+        ll = float(eval_llk(A, B, by_user))
+        sparsity = float(np.mean(np.asarray(A[:n_users]) == 0.0))
+        print(f"# train LL: {ll:.6g}  A-sparsity: {sparsity:.3f}",
+              file=sys.stderr)
+    except Exception as e:  # diagnostics must never eat the JSON line
+        print(f"# diagnostics failed: {e}", file=sys.stderr)
 
     baseline = BASELINE_FIT_S * scale  # cost scales ~linearly in nnz
     print(json.dumps({

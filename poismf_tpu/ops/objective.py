@@ -475,20 +475,69 @@ def eval_llk(
     X: CountsMatrix,
     full_llk: bool = False,
     include_missing: bool = False,
+    nnz_chunk: Optional[int] = None,
 ) -> jnp.ndarray:
     """Poisson LL over the entries of X; with ``include_missing``, the
     ``-pred`` term extends over ALL user-item pairs, computed in O((m+n)k) via
-    ``<colsum(A), colsum(B)>`` instead of materializing A @ B^T."""
-    pred = sddmm(A, B, X.row_ids, X.col_ids)
-    safe = jnp.maximum(pred, PRED_EPS)
-    valid = X.vals > 0
+    ``<colsum(A), colsum(B)>`` instead of materializing A @ B^T.
+
+    ``nnz_chunk`` bounds the [chunk, k] gather intermediates (auto-chunks
+    above ~4M nonzeros so large evaluations don't exhaust HBM)."""
+    if nnz_chunk is None and X.nnz_pad > 4 * 1024 * 1024:
+        nnz_chunk = 1024 * 1024
+    chunk = None
+    row_ids, col_ids, vals_all = X.row_ids, X.col_ids, X.vals
+    if nnz_chunk is not None and nnz_chunk < X.nnz_pad:
+        chunk = int(nnz_chunk)
+        pad = (-X.nnz_pad) % chunk
+        if pad:
+            # padding entries: val 0 (masked), col 0, row clamped by sddmm
+            row_ids = jnp.concatenate(
+                [row_ids, jnp.full((pad,), X.n_rows_pad, row_ids.dtype)]
+            )
+            col_ids = jnp.concatenate(
+                [col_ids, jnp.zeros((pad,), col_ids.dtype)]
+            )
+            vals_all = jnp.concatenate(
+                [vals_all, jnp.zeros((pad,), vals_all.dtype)]
+            )
+
+    def eval_chunk(row_ids, col_ids, vals):
+        pred = sddmm(A, B, row_ids, col_ids)
+        safe = jnp.maximum(pred, PRED_EPS)
+        valid = vals > 0
+        if include_missing:
+            ll = jnp.sum(jnp.where(valid, vals * jnp.log(safe), 0.0))
+        else:
+            ll = jnp.sum(
+                jnp.where(valid, vals * jnp.log(safe) - pred, 0.0)
+            )
+        if full_llk:
+            ll = ll - jnp.sum(
+                jnp.where(valid, lax.lgamma(vals + 1.0), 0.0)
+            )
+        return ll
+
+    if chunk is None:
+        ll = eval_chunk(row_ids, col_ids, vals_all)
+    else:
+        n_chunks = row_ids.shape[0] // chunk
+
+        def body(carry, xs):
+            r, c, v = xs
+            return carry + eval_chunk(r, c, v), None
+
+        ll, _ = lax.scan(
+            body,
+            jnp.zeros((), dtype=A.dtype),
+            (
+                row_ids.reshape(n_chunks, chunk),
+                col_ids.reshape(n_chunks, chunk),
+                vals_all.reshape(n_chunks, chunk),
+            ),
+        )
     if include_missing:
-        ll = jnp.sum(jnp.where(valid, X.vals * jnp.log(safe), 0.0))
         ll = ll - jnp.dot(
             jnp.sum(A[: X.n_rows], axis=0), jnp.sum(B[: X.n_cols], axis=0)
         )
-    else:
-        ll = jnp.sum(jnp.where(valid, X.vals * jnp.log(safe) - pred, 0.0))
-    if full_llk:
-        ll = ll - jnp.sum(jnp.where(valid, lax.lgamma(X.vals + 1.0), 0.0))
     return ll
