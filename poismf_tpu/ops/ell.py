@@ -502,6 +502,68 @@ def f_ell(
     return lin + l2_reg * jnp.sum(A_perm * A_perm, axis=-1) + neg_llk
 
 
+def fg_ell(
+    A_perm,
+    planes: Sequence[Any],
+    ell: EllMatrix,
+    Bsum,
+    l2_reg: float,
+    w_mult: float = 1.0,
+):
+    """Objective + gradient only (no Hessian data) — the CG solver's
+    evaluation (calc_fun_single / calc_grad_single, poismf.c:194-223,
+    batched).  Two linear reads of the planes."""
+    import jax.numpy as jnp
+
+    k = A_perm.shape[1]
+    dtype = A_perm.dtype
+    neg_llks, grads = [], []
+    for b, bg in zip(ell.buckets, planes):
+        A_T = _bucket_x(A_perm, b).T
+        pred = jnp.sum(bg * A_T[:, None, :], axis=0)
+        safe = jnp.maximum(pred, PRED_EPS)
+        valid = b.vals > 0
+        logt = jnp.where(valid, b.vals * jnp.log(safe), 0.0)
+        w = jnp.where(valid, b.vals / safe, 0.0)
+        neg_llks.append(-jnp.sum(logt, axis=0))
+        grads.append(-jnp.sum(w[None] * bg, axis=1).T)
+    neg_llk = _assemble(ell, neg_llks, (), dtype)
+    grad_data = _assemble(ell, grads, (k,), dtype)
+    if w_mult != 1.0:
+        neg_llk = w_mult * neg_llk
+        grad_data = w_mult * grad_data
+    if Bsum.ndim == 1:
+        lin = A_perm @ Bsum
+        g_lin = Bsum[None, :]
+    else:
+        lin = jnp.sum(A_perm * Bsum, axis=-1)
+        g_lin = Bsum
+    f = lin + l2_reg * jnp.sum(A_perm * A_perm, axis=-1) + neg_llk
+    g = g_lin + 2.0 * l2_reg * A_perm + grad_data
+    return f, g
+
+
+def pg_grad_ell(
+    A_perm,
+    planes: Sequence[Any],
+    ell: EllMatrix,
+):
+    """``sum_i (x_i / pred_i) * B_i`` per row — the PG data term
+    (calc_grad_pgd, poismf.c:126-133, batched, gather-free)."""
+    import jax.numpy as jnp
+
+    k = A_perm.shape[1]
+    parts = []
+    for b, bg in zip(ell.buckets, planes):
+        A_T = _bucket_x(A_perm, b).T
+        pred = jnp.sum(bg * A_T[:, None, :], axis=0)
+        w = jnp.where(
+            b.vals > 0, b.vals / jnp.maximum(pred, PRED_EPS), 0.0
+        )
+        parts.append(jnp.sum(w[None] * bg, axis=1).T)
+    return _assemble(ell, parts, (k,), A_perm.dtype)
+
+
 def hvp_ell(
     V_perm,
     planes: Sequence[Any],

@@ -39,6 +39,7 @@ from jax import lax
 
 from ..sparse import CountsMatrix
 from ..ops import objective as obj
+from ..ops import ell as ell_ops
 
 EPS_LIMIT = 1e-15  # nonnegcg.c:94 clamp threshold under limit_step
 CG_TOL = 1e-2
@@ -48,37 +49,19 @@ CG_LNSRCH_C = 0.01
 CG_MAX_LS = 20
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("maxupd", "limit_step", "w_mult", "nnz_chunk",
-                     "maxnfeval"),
-)
-def cg_update(
-    A: jnp.ndarray,
-    B: jnp.ndarray,
-    X: CountsMatrix,
-    Bsum: jnp.ndarray,
+def _cg_core(
+    x0: jnp.ndarray,
+    has_nnz: jnp.ndarray,
+    fg,
+    f_only,
     *,
-    l2_reg: float,
-    w_mult: float = 1.0,
-    maxupd: int = 5,
-    limit_step: bool = True,
-    nnz_chunk: Optional[int] = None,
-    maxnfeval: int = CG_MAXNFEVAL,
+    maxupd: int,
+    limit_step: bool,
+    maxnfeval: int,
 ) -> jnp.ndarray:
-    """Run up to ``maxupd`` batched CG iterations on every row of A."""
-    R, k = A.shape
-    dtype = A.dtype
-    l2 = jnp.asarray(l2_reg, dtype=dtype)
-
-    def fg(Acur):
-        return obj.poisson_fg(Acur, B, X, Bsum, l2_reg, w_mult, nnz_chunk)
-
-    def f_only(Acur):
-        return obj.poisson_f(Acur, B, X, Bsum, l2_reg, w_mult, nnz_chunk)
-
-    has_nnz = X.row_nnz > 0
-    x0 = jnp.where(has_nnz[:, None], A, 0.0)
+    """Backend-agnostic batched Li-2013 non-negative CG driver."""
+    R, k = x0.shape
+    dtype = x0.dtype
 
     f0 = f_only(x0)
     nfeval0 = jnp.ones((R,), dtype=jnp.int32)
@@ -192,3 +175,71 @@ def cg_update(
 
     out = lax.while_loop(cond, body, state0)
     return out["x"]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("maxupd", "limit_step", "w_mult", "nnz_chunk",
+                     "maxnfeval"),
+)
+def cg_update(
+    A: jnp.ndarray,
+    B: jnp.ndarray,
+    X: CountsMatrix,
+    Bsum: jnp.ndarray,
+    *,
+    l2_reg: float,
+    w_mult: float = 1.0,
+    maxupd: int = 5,
+    limit_step: bool = True,
+    nnz_chunk: Optional[int] = None,
+    maxnfeval: int = CG_MAXNFEVAL,
+) -> jnp.ndarray:
+    """Run up to ``maxupd`` batched CG iterations on every row of A
+    (flat-COO backend)."""
+
+    def fg(Acur):
+        return obj.poisson_fg(Acur, B, X, Bsum, l2_reg, w_mult, nnz_chunk)
+
+    def f_only(Acur):
+        return obj.poisson_f(Acur, B, X, Bsum, l2_reg, w_mult, nnz_chunk)
+
+    has_nnz = X.row_nnz > 0
+    x0 = jnp.where(has_nnz[:, None], A, 0.0)
+    return _cg_core(
+        x0, has_nnz, fg, f_only,
+        maxupd=maxupd, limit_step=limit_step, maxnfeval=maxnfeval,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("maxupd", "limit_step", "w_mult", "maxnfeval"),
+)
+def cg_update_ell(
+    A_perm: jnp.ndarray,
+    planes,
+    ell: ell_ops.EllMatrix,
+    Bsum: jnp.ndarray,
+    *,
+    l2_reg: float,
+    w_mult: float = 1.0,
+    maxupd: int = 5,
+    limit_step: bool = True,
+    maxnfeval: int = CG_MAXNFEVAL,
+) -> jnp.ndarray:
+    """CG iterations on the gather-free planar-ELL backend (permuted rows;
+    ``planes`` from :func:`poismf_tpu.ops.ell.gather_planes`)."""
+
+    def fg(Acur):
+        return ell_ops.fg_ell(Acur, planes, ell, Bsum, l2_reg, w_mult)
+
+    def f_only(Acur):
+        return ell_ops.f_ell(Acur, planes, ell, Bsum, l2_reg, w_mult)
+
+    has_nnz = ell.row_nnz_perm > 0
+    x0 = jnp.where(has_nnz[:, None], A_perm, 0.0)
+    return _cg_core(
+        x0, has_nnz, fg, f_only,
+        maxupd=maxupd, limit_step=limit_step, maxnfeval=maxnfeval,
+    )

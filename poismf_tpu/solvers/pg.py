@@ -31,6 +31,7 @@ from jax import lax
 
 from ..sparse import CountsMatrix
 from ..ops.objective import spmm, sddmm, PRED_EPS
+from ..ops import ell as ell_ops
 
 
 @functools.partial(
@@ -99,3 +100,35 @@ def pg_update(
     A = lax.fori_loop(0, maxupd, one_step, A)
     # rows with no nonzeros are zeroed (poismf.c:166-169)
     return jnp.where((X.row_nnz > 0)[:, None], A, 0.0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("maxupd", "w_mult"),
+)
+def pg_update_ell(
+    A_perm: jnp.ndarray,
+    planes,
+    ell: ell_ops.EllMatrix,
+    Bsum: jnp.ndarray,
+    l2_reg: jnp.ndarray,
+    step_size: jnp.ndarray,
+    *,
+    w_mult: float = 1.0,
+    maxupd: int = 10,
+) -> jnp.ndarray:
+    """PG steps on the gather-free planar-ELL backend (permuted rows)."""
+    step = step_size * w_mult  # poismf.c:151
+    cnst_div = 1.0 / (1.0 + 2.0 * l2_reg * step_size)  # poismf.c:511
+    if Bsum.ndim == 1:
+        step_bsum = step_size * Bsum[None, :]
+    else:
+        step_bsum = step_size * Bsum
+
+    def one_step(_, Acur):
+        gp = ell_ops.pg_grad_ell(Acur, planes, ell)
+        Anew = (Acur + step * gp - step_bsum) * cnst_div
+        return jnp.maximum(Anew, 0.0)
+
+    A_perm = lax.fori_loop(0, maxupd, one_step, A_perm)
+    return jnp.where((ell.row_nnz_perm > 0)[:, None], A_perm, 0.0)

@@ -62,7 +62,7 @@ class FitParams:
         if p.layout not in ("auto", "ell", "coo"):
             raise ValueError("layout must be 'auto', 'ell' or 'coo'")
         if p.layout == "auto":
-            p.layout = "ell" if p.method == "tncg" else "coo"
+            p.layout = "ell"
         if p.l2_reg == "auto":
             p.l2_reg = {"tncg": 1e3, "cg": 1e4, "pg": 1e9}[p.method]
         if p.maxupd == "auto":
@@ -171,7 +171,7 @@ def run_poismf(
     (mirroring the reference's return codes; OOM surfaces as a JAX error).
     """
     p = params.resolved()
-    if p.method == "tncg" and p.layout == "ell":
+    if p.layout == "ell":
         return _run_poismf_ell(
             A, B, by_user, by_item, p,
             handle_interrupt=handle_interrupt, callback=callback,
@@ -215,14 +215,13 @@ def _run_poismf_ell(
     handle_interrupt: bool = True,
     callback=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, int]:
-    """TNCG fit on the gather-free planar-ELL layout (see ops/ell.py).
+    """Fit on the gather-free planar-ELL layout (see ops/ell.py).
 
     Both factor matrices live in their nnz-sorted permuted row order for the
     whole fit (the two ELLs cross-reference each other's permuted positions),
     so the only per-half-update setup is the one-off gather of the fixed
     side's rows into streaming-friendly planes."""
     from .ops import ell as ell_ops
-    from .solvers.tncg import tncg_update_ell
 
     n_users, n_items = by_user.n_rows, by_item.n_rows
     ell_user, ell_item = ell_pair_cached(by_user, by_item)
@@ -230,9 +229,10 @@ def _run_poismf_ell(
     A_p = ell_ops.permute_rows(A, ell_user.perm)
     B_p = ell_ops.permute_rows(B, ell_item.perm)
     status = 0
+    step_size = p.initial_step
     converged_A = converged_B = False
 
-    def half(target_p, fixed_p, ell, early_stop):
+    def half(target_p, fixed_p, ell, early_stop, step):
         # colsums over the full padded matrix are exact: padding/empty rows
         # are identically zero (poismf.c:512-514 + l1 shift)
         Bsum = jnp.sum(fixed_p, axis=0) + p.l1_reg
@@ -240,6 +240,27 @@ def _run_poismf_ell(
         bsum_in = Bsum
         if p.w_mult != 1.0:
             bsum_in = ell_ops.adjusted_bsum_ell(planes, ell, Bsum, p.w_mult)
+        if p.method == "pg":
+            from .solvers.pg import pg_update_ell
+
+            new = pg_update_ell(
+                target_p, planes, ell, bsum_in,
+                jnp.asarray(p.l2_reg, dtype=target_p.dtype),
+                jnp.asarray(step, dtype=target_p.dtype),
+                w_mult=p.w_mult, maxupd=p.maxupd,
+            )
+            return new, False
+        if p.method == "cg":
+            from .solvers.cg import cg_update_ell
+
+            new = cg_update_ell(
+                target_p, planes, ell, bsum_in,
+                l2_reg=p.l2_reg, w_mult=p.w_mult, maxupd=p.maxupd,
+                limit_step=p.limit_step,
+            )
+            return new, False
+        from .solvers.tncg import tncg_update_ell
+
         new, share = tncg_update_ell(
             target_p, planes, ell, bsum_in,
             l2_reg=p.l2_reg, w_mult=p.w_mult, maxupd=p.maxupd,
@@ -248,17 +269,20 @@ def _run_poismf_ell(
         converged = bool(share >= 0.95) if early_stop else False
         return new, converged
 
+    early = p.early_stop and p.method == "tncg"
     try:
         for epoch in range(p.niter):
             if not converged_B:
-                B_p, converged_B = half(B_p, A_p, ell_item, p.early_stop)
+                B_p, converged_B = half(B_p, A_p, ell_item, early, step_size)
             if not converged_A:
-                A_p, converged_A = half(A_p, B_p, ell_user, p.early_stop)
+                A_p, converged_A = half(A_p, B_p, ell_user, early, step_size)
+            if p.method == "pg":
+                step_size *= 0.5  # poismf.c:532
             if callback is not None:
                 callback(epoch,
                          ell_ops.permute_rows(A_p, ell_user.inv_perm),
                          ell_ops.permute_rows(B_p, ell_item.inv_perm))
-            if converged_A and converged_B:
+            if p.method == "tncg" and converged_A and converged_B:
                 break
     except KeyboardInterrupt:
         status = 2

@@ -146,3 +146,25 @@ def test_ell_weighted_fit(rng):
     ll_c = float(obj.eval_llk(Ac, Bc, by_user))
     ll_e = float(obj.eval_llk(Ae, Be, by_user))
     assert abs(ll_c - ll_e) / abs(ll_c) < 1e-3
+
+
+@pytest.mark.parametrize("method,l2,mu,ni", [
+    ("pg", 1e3, 10, 6),
+    ("cg", 1e3, 5, 8),
+])
+def test_ell_fit_pg_cg_matches_coo(rng, method, l2, mu, ni):
+    rows, cols, vals = synth_counts(rng, n_users=150, n_items=60,
+                                    density=0.1)
+    by_user, by_item, _, _ = _setup(rows, cols, vals, 150, 60)
+    k = 7
+    r = np.random.default_rng(1)
+    A0 = initialize_factors(150, by_user.n_rows_pad, k, r, np.float32)
+    B0 = initialize_factors(60, by_item.n_rows_pad, k, r, np.float32)
+    common = dict(k=k, method=method, niter=ni, l2_reg=l2, maxupd=mu)
+    Ac, Bc, _ = run_poismf(A0, B0, by_user, by_item,
+                           FitParams(layout="coo", **common))
+    Ae, Be, _ = run_poismf(A0, B0, by_user, by_item,
+                           FitParams(layout="ell", **common))
+    ll_c = float(obj.eval_llk(Ac, Bc, by_user))
+    ll_e = float(obj.eval_llk(Ae, Be, by_user))
+    assert abs(ll_c - ll_e) / abs(ll_c) < 1e-4

@@ -67,7 +67,9 @@ def test_shard_counts_partition():
 ])
 def test_sharded_fit_matches_single_device(mesh, method, kw):
     by_user, by_item, A, B, (n_users, n_items, k) = _problem()
-    p = FitParams(k=k, method=method, **kw)
+    # the sharded path runs the flat-COO solvers per device; compare against
+    # the same layout (the ELL default has a slightly different fp trajectory)
+    p = FitParams(k=k, method=method, layout="coo", **kw)
 
     A1, B1, _ = run_poismf(A, B, by_user, by_item, p)
     A8, B8, _ = run_poismf_sharded(A, B, by_user, by_item, p, mesh)
