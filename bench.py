@@ -88,6 +88,7 @@ def main():
     params = FitParams(
         k=K, method="tncg", l2_reg=L2, maxupd=MAXUPD, niter=NITER,
         reuse_prev=True, early_stop=True,
+        plane_dtype=os.environ.get("POISMF_BENCH_PLANES") or None,
     )
 
     verbose = os.environ.get("POISMF_BENCH_VERBOSE")

@@ -61,7 +61,8 @@ class PoisMF:
                  reindex=True, copy_data=True, produce_dicts=False,
                  use_float=True, handle_interrupt=True,
                  nthreads=-1, n_jobs=None,
-                 mesh=None, nnz_chunk=None, layout="auto"):
+                 mesh=None, nnz_chunk=None, layout="auto",
+                 plane_dtype=None):
         self.k = k
         self.method = method
         self.l2_reg = l2_reg
@@ -84,6 +85,7 @@ class PoisMF:
         self.mesh = mesh
         self.nnz_chunk = nnz_chunk
         self.layout = layout
+        self.plane_dtype = plane_dtype
         self._reset_state()
 
     # ------------------------------------------------------------------ state
@@ -124,6 +126,7 @@ class PoisMF:
             w_mult=self.weight_mult,
             nnz_chunk=self.nnz_chunk,
             layout=self.layout,
+            plane_dtype=self.plane_dtype,
         ).resolved()
 
     # ------------------------------------------------------------------ fitted

@@ -357,7 +357,8 @@ def adjusted_bsum_ell(
 
     parts = []
     for b, bg in zip(ell.buckets, planes):
-        valid = (b.vals > 0).astype(bg.dtype)  # [P, R_b]
+        # accumulate in the Bsum dtype (planes may be bf16)
+        valid = (b.vals > 0).astype(Bsum.dtype)  # [P, R_b]
         parts.append(jnp.sum(valid[None] * bg, axis=1).T)  # [R_b, k]
     k = planes[0].shape[0] if planes else Bsum.shape[-1]
     row_b = _assemble(ell, parts, (k,), Bsum.dtype)
@@ -369,18 +370,25 @@ def adjusted_bsum_ell(
 # ---------------------------------------------------------------------------
 
 
-def gather_planes(M: "Any", ell: EllMatrix) -> Tuple[Any, ...]:
+def gather_planes(
+    M: "Any", ell: EllMatrix, dtype: Optional[Any] = None
+) -> Tuple[Any, ...]:
     """One-off per half-update: gather the FIXED matrix's rows for every
     nonzero into planar per-bucket tensors ``bg[k, P, R_b]``.
 
     This is the ONLY gather on the critical path; every subsequent solver
-    pass streams these planes linearly."""
+    pass streams these planes linearly.  ``dtype=jnp.bfloat16`` halves the
+    dominant HBM traffic of the whole fit (values promote back to f32 inside
+    the fused loops, so only the stored B values lose mantissa bits)."""
     import jax.numpy as jnp
 
     planes = []
     for b in ell.buckets:
         bg = jnp.take(M, b.cols, axis=0)  # [R_b, P, k]
-        planes.append(jnp.transpose(bg, (2, 1, 0)))  # [k, P, R_b]
+        bg = jnp.transpose(bg, (2, 1, 0))  # [k, P, R_b]
+        if dtype is not None:
+            bg = bg.astype(dtype)
+        planes.append(bg)
     return tuple(planes)
 
 

@@ -54,6 +54,10 @@ class FitParams:
     # data layout for the tncg hot loop: "ell" (gather-free planar buckets,
     # the fast path), "coo" (flat sorted-COO), or "auto" (ell for tncg)
     layout: str = "auto"
+    # storage dtype of the pre-gathered fixed-side planes on the ELL path:
+    # None = same as the factors; "bfloat16" halves the dominant HBM traffic
+    # at ~0.4% relative error on the stored values (math still f32)
+    plane_dtype: Optional[str] = None
 
     def resolved(self) -> "FitParams":
         p = dataclasses.replace(self)
@@ -232,11 +236,15 @@ def _run_poismf_ell(
     step_size = p.initial_step
     converged_A = converged_B = False
 
+    plane_dtype = None
+    if p.plane_dtype is not None:
+        plane_dtype = jnp.dtype(p.plane_dtype)
+
     def half(target_p, fixed_p, ell, early_stop, step):
         # colsums over the full padded matrix are exact: padding/empty rows
         # are identically zero (poismf.c:512-514 + l1 shift)
         Bsum = jnp.sum(fixed_p, axis=0) + p.l1_reg
-        planes = ell_ops.gather_planes(fixed_p, ell)
+        planes = ell_ops.gather_planes(fixed_p, ell, plane_dtype)
         bsum_in = Bsum
         if p.w_mult != 1.0:
             bsum_in = ell_ops.adjusted_bsum_ell(planes, ell, Bsum, p.w_mult)

@@ -168,3 +168,22 @@ def test_ell_fit_pg_cg_matches_coo(rng, method, l2, mu, ni):
     ll_c = float(obj.eval_llk(Ac, Bc, by_user))
     ll_e = float(obj.eval_llk(Ae, Be, by_user))
     assert abs(ll_c - ll_e) / abs(ll_c) < 1e-4
+
+
+def test_ell_bf16_planes_quality(rng):
+    """bfloat16 plane storage must not materially change the optimum."""
+    rows, cols, vals = synth_counts(rng, n_users=300, n_items=100,
+                                    density=0.08)
+    by_user, by_item, _, _ = _setup(rows, cols, vals, 300, 100)
+    k = 8
+    r = np.random.default_rng(1)
+    A0 = initialize_factors(300, by_user.n_rows_pad, k, r, np.float32)
+    B0 = initialize_factors(100, by_item.n_rows_pad, k, r, np.float32)
+    common = dict(k=k, method="tncg", niter=5, l2_reg=1e2, maxupd=120,
+                  reuse_prev=True)
+    Af, Bf, _ = run_poismf(A0, B0, by_user, by_item, FitParams(**common))
+    Ab, Bb, _ = run_poismf(A0, B0, by_user, by_item,
+                           FitParams(plane_dtype="bfloat16", **common))
+    llf = float(obj.eval_llk(Af, Bf, by_user))
+    llb = float(obj.eval_llk(Ab, Bb, by_user))
+    assert abs(llf - llb) / abs(llf) < 1e-3
