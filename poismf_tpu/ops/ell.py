@@ -593,6 +593,162 @@ def hvp_ell(
     return 2.0 * l2_reg * V_perm + data
 
 
+# ---------------------------------------------------------------------------
+# Active-set compaction: after a few outer iterations of a warm-started
+# solve, only a small tail of rows remains active; a compact sub-ELL with
+# STATIC capacities (1/8 of each bucket, so one extra compiled program)
+# lets the solver finish the tail at a fraction of the per-pass cost.
+# This is the batched answer to the reference's per-row adaptive iteration
+# counts (each OpenMP thread simply stops on converged rows).
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class CompactPlan:
+    """Static capacities of the compact sub-ELL (fixed per parent ELL so the
+    stage-2 solver compiles exactly once)."""
+
+    caps: Tuple[int, ...]  # rows per compact bucket
+    offsets: Tuple[int, ...]  # compact slot offset per bucket
+    n_slots: int  # total compact slots (incl. zero tail)
+    denom: int  # capacity divisor used
+
+
+def plan_compact(ell: EllMatrix, denom: int = 8) -> CompactPlan:
+    caps = []
+    offsets = []
+    off = 0
+    for b in ell.buckets:
+        cap = _ceil_to(max(b.n_rows // denom, 1), ROW_TILE)
+        offsets.append(off)
+        caps.append(cap)
+        off += cap
+    return CompactPlan(
+        caps=tuple(caps), offsets=tuple(offsets),
+        n_slots=off + ROW_TILE, denom=denom,
+    )
+
+
+def select_active(
+    ell: EllMatrix,
+    plan: CompactPlan,
+    active: np.ndarray,
+    row_nnz_host: np.ndarray,
+    src_host: Sequence[Optional[np.ndarray]],
+):
+    """Host-side selection of the still-active rows into the compact layout.
+
+    ``active`` is the [n_rows_ell] bool mask from the stage-1 solve (host).
+    A bucket row is selected iff its source row (itself, or its long-row
+    primary) is active.  Returns None if any bucket overflows its capacity
+    (caller falls back to a full-batch continuation), else host index
+    arrays for the device-side gathers:
+      (sel [per bucket], src_c [per bucket or None], slot_map, row_nnz_c).
+    """
+    compact_of_orig = np.full(ell.n_rows_ell, plan.n_slots - 1, dtype=np.int64)
+    sels = []
+    selected = []  # per bucket: (idx, orig_src or None)
+    slot_map = np.full(plan.n_slots, ell.n_rows_ell - 1, dtype=np.int32)
+    row_nnz_c = np.zeros(plan.n_slots, dtype=np.int32)
+    n_primary = 0
+    # pass 1: selection, compact slot assignment for every PRIMARY row
+    for b, cap, coff, srch in zip(
+        ell.buckets, plan.caps, plan.offsets, src_host
+    ):
+        if srch is None:
+            m = active[b.offset : b.offset + b.n_rows]
+        else:
+            m = active[srch]
+        idx = np.nonzero(m)[0]
+        if idx.shape[0] > cap:
+            return None
+        sel = np.full(cap, b.n_rows, dtype=np.int32)  # fill -> OOB (take fill)
+        sel[: idx.shape[0]] = idx
+        sels.append(sel)
+        if srch is None:
+            orig_slots = b.offset + idx.astype(np.int64)
+            compact_slots = coff + np.arange(idx.shape[0], dtype=np.int64)
+            compact_of_orig[orig_slots] = compact_slots
+            slot_map[compact_slots] = orig_slots
+            row_nnz_c[compact_slots] = row_nnz_host[orig_slots]
+            n_primary += idx.shape[0]
+            selected.append((idx, None))
+        else:
+            orig_src = srch[idx].astype(np.int64)
+            own = orig_src == (b.offset + idx.astype(np.int64))
+            compact_slots = coff + np.arange(idx.shape[0], dtype=np.int64)
+            prim_slots = compact_slots[own]
+            orig_prim = orig_src[own]
+            compact_of_orig[orig_prim] = prim_slots
+            slot_map[prim_slots] = orig_prim
+            row_nnz_c[prim_slots] = row_nnz_host[orig_prim]
+            n_primary += int(own.sum())
+            selected.append((idx, orig_src))
+    # pass 2: src remap through the now-complete compact slot table
+    src_cs = []
+    for (idx, orig_src), cap in zip(selected, plan.caps):
+        if orig_src is None:
+            src_cs.append(None)
+        else:
+            src_c = np.full(cap, plan.n_slots - 1, dtype=np.int32)
+            src_c[: idx.shape[0]] = compact_of_orig[orig_src].astype(np.int32)
+            src_cs.append(src_c)
+    return sels, src_cs, slot_map, row_nnz_c, n_primary
+
+
+def build_compact(
+    ell: EllMatrix,
+    plan: CompactPlan,
+    sels,
+    src_cs,
+    slot_map,
+    row_nnz_c,
+    n_primary: int,
+) -> Tuple[EllMatrix, Any]:
+    """Assemble the compact EllMatrix (device) from host selection indices.
+    Edge data is gathered ON DEVICE from the parent buckets — only the small
+    index arrays cross the host-device boundary."""
+    import jax.numpy as jnp
+
+    buckets = []
+    for b, cap, coff, sel, src_c in zip(
+        ell.buckets, plan.caps, plan.offsets, sels, src_cs
+    ):
+        sel_d = jnp.asarray(sel)
+        cols_c = jnp.take(b.cols, sel_d, axis=0, mode="fill", fill_value=0)
+        vals_c = jnp.take(b.vals, sel_d, axis=1, mode="fill", fill_value=0)
+        buckets.append(
+            EllBucket(
+                offset=coff, n_rows=cap, P=b.P, cols=cols_c, vals=vals_c,
+                src=None if src_c is None else jnp.asarray(src_c),
+            )
+        )
+    slot_map_d = jnp.asarray(slot_map)
+    compact = EllMatrix(
+        buckets=tuple(buckets),
+        perm=slot_map_d,  # compact slot -> parent ELL slot (doubles as perm)
+        inv_perm=slot_map_d,  # unused by the solver
+        row_nnz_perm=jnp.asarray(row_nnz_c),
+        n_rows=n_primary,
+        n_cols=ell.n_cols,
+        nnz=ell.nnz,
+        n_rows_pad=ell.n_rows_ell,
+        n_rows_ell=plan.n_slots,
+    )
+    return compact, slot_map_d
+
+
+def scatter_back(x_full, x_compact, slot_map, row_nnz_c):
+    """Write the compact solve's rows back into the full ELL-space matrix.
+    Fill slots map to the parent zero tail and carry zeros."""
+    import jax.numpy as jnp
+
+    valid = (row_nnz_c > 0)[:, None]
+    return x_full.at[slot_map].set(
+        jnp.where(valid, x_compact, jnp.zeros_like(x_compact))
+    )
+
+
 def permute_rows(M, perm):
     """M[perm] with out-of-range (sentinel) positions yielding zero rows —
     moves factor matrices between original and ELL row order."""

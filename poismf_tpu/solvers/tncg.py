@@ -87,6 +87,7 @@ def _tncg_core(
     track_unchanged: bool,
     x_prev_for_unchanged: Optional[jnp.ndarray],
     true_row_mask: Optional[jnp.ndarray] = None,
+    active_mask: Optional[jnp.ndarray] = None,
 ):
     """Backend-agnostic batched truncated-Newton driver (see module doc)."""
     R, k = x0.shape
@@ -104,7 +105,11 @@ def _tncg_core(
         w2=w20,
         diag=diag0,
         nfeval=jnp.ones((R,), dtype=jnp.int32),
-        active=has_nnz & jnp.isfinite(f0),
+        active=(
+            has_nnz & jnp.isfinite(f0)
+            if active_mask is None
+            else has_nnz & jnp.isfinite(f0) & active_mask
+        ),
         it=jnp.zeros((), dtype=jnp.int32),
     )
 
@@ -346,6 +351,7 @@ def tncg_update(
         return x_final, share, dict(
             outer_iters=out["it"], nfeval=out["nfeval"],
             still_active=jnp.sum(out["active"]),
+            active=out["active"],
         )
     return x_final, share
 
@@ -379,12 +385,15 @@ def tncg_update_ell(
     track_unchanged: bool = False,
     max_outer: int = 0,
     return_stats: bool = False,
+    active_mask: Optional[jnp.ndarray] = None,
 ):
     """One TNCG pass over every (permuted) row, planar-ELL backend.
 
     ``A_perm`` and a 2D ``Bsum`` must be in the ELL's permuted row order;
     ``planes`` is :func:`poismf_tpu.ops.ell.gather_planes` of the fixed
-    matrix (computed once per half-update).
+    matrix (computed once per half-update).  ``active_mask`` restricts the
+    solve to a subset of rows (used to continue a previous partial solve
+    without re-activating rows that already terminated).
     """
     R, k = A_perm.shape
     maxcg = _maxcgit(k)
@@ -415,10 +424,12 @@ def tncg_update_ell(
         track_unchanged=track_unchanged,
         x_prev_for_unchanged=jnp.where(has_nnz[:, None], A_perm, 0.0),
         true_row_mask=has_nnz,  # ELL slots with nnz are exactly the true rows
+        active_mask=active_mask,
     )
     if return_stats:
         return x_final, share, dict(
             outer_iters=out["it"], nfeval=out["nfeval"],
             still_active=jnp.sum(out["active"]),
+            active=out["active"],
         )
     return x_final, share

@@ -58,6 +58,11 @@ class FitParams:
     # None = same as the factors; "bfloat16" halves the dominant HBM traffic
     # at ~0.4% relative error on the stored values (math still f32)
     plane_dtype: Optional[str] = None
+    # stage-2 active-set compaction for tncg on the ELL path: after a few
+    # outer iterations, finish the still-active tail of rows on a compact
+    # sub-problem instead of paying full-batch passes (the batched stand-in
+    # for the reference's per-row adaptive iteration counts)
+    compact_tail: bool = True
 
     def resolved(self) -> "FitParams":
         p = dataclasses.replace(self)
@@ -269,12 +274,67 @@ def _run_poismf_ell(
             return new, False
         from .solvers.tncg import tncg_update_ell
 
-        new, share = tncg_update_ell(
+        aux = _ELL_AUX.get(id(ell))
+        if not p.compact_tail or aux is None:
+            new, share = tncg_update_ell(
+                target_p, planes, ell, bsum_in,
+                l2_reg=p.l2_reg, w_mult=p.w_mult, maxupd=p.maxupd,
+                reuse_prev=p.reuse_prev, track_unchanged=early_stop,
+            )
+            converged = bool(share >= 0.95) if early_stop else False
+            return new, converged
+
+        # --- staged solve: a few full-batch outer iterations, then finish
+        # the still-active tail on a compact sub-problem (ops/ell.py) ---
+        x1, _, st = tncg_update_ell(
             target_p, planes, ell, bsum_in,
             l2_reg=p.l2_reg, w_mult=p.w_mult, maxupd=p.maxupd,
-            reuse_prev=p.reuse_prev, track_unchanged=early_stop,
+            reuse_prev=p.reuse_prev, track_unchanged=False,
+            max_outer=3, return_stats=True,
         )
-        converged = bool(share >= 0.95) if early_stop else False
+        active = np.asarray(st["active"])
+        new = x1
+        if active.any():
+            sel = ell_ops.select_active(
+                ell, aux["plan"], active, aux["row_nnz"], aux["src"]
+            )
+            if sel is not None:
+                compact, slot_map = ell_ops.build_compact(
+                    ell, aux["plan"], *sel
+                )
+                planes_c = ell_ops.gather_planes(
+                    fixed_p, compact, plane_dtype
+                )
+                bsum_c = (
+                    bsum_in if bsum_in.ndim == 1
+                    else jnp.take(bsum_in, slot_map, axis=0)
+                )
+                x_c0 = jnp.take(x1, slot_map, axis=0)
+                x_c, _ = tncg_update_ell(
+                    x_c0, planes_c, compact, bsum_c,
+                    l2_reg=p.l2_reg, w_mult=p.w_mult, maxupd=p.maxupd,
+                    reuse_prev=True, track_unchanged=False,
+                )
+                new = ell_ops.scatter_back(
+                    x1, x_c, slot_map, compact.row_nnz_perm
+                )
+            else:
+                # tail too large for the compact capacities: continue
+                # full-batch, restricted to the still-active rows
+                new, _ = tncg_update_ell(
+                    x1, planes, ell, bsum_in,
+                    l2_reg=p.l2_reg, w_mult=p.w_mult, maxupd=p.maxupd,
+                    reuse_prev=True, track_unchanged=False,
+                    active_mask=jnp.asarray(active),
+                )
+        converged = False
+        if early_stop:
+            has = ell.row_nnz_perm > 0
+            before = jnp.where(has[:, None], target_p, 0.0)
+            delta = new - before
+            small = jnp.sum(delta * delta, axis=1) <= 1e-4
+            share = float(jnp.sum(small & has)) / max(ell.n_rows, 1)
+            converged = share >= 0.95
         return new, converged
 
     early = p.early_stop and p.method == "tncg"
@@ -304,8 +364,23 @@ def _run_poismf_ell(
 
 # Cache the host-side ELL builds keyed on the CountsMatrix identity so that
 # repeated fits on the same data (benchmark timing, warm starts) skip the
-# O(nnz) host work and device transfer.
+# O(nnz) host work and device transfer.  _ELL_AUX holds the host-side
+# compaction metadata (static capacities + host copies of nnz/src) per ELL.
 _ELL_CACHE: dict = {}
+_ELL_AUX: dict = {}
+
+
+def _make_aux(ell):
+    from .ops import ell as ell_ops
+
+    return dict(
+        plan=ell_ops.plan_compact(ell),
+        row_nnz=np.asarray(ell.row_nnz_perm),
+        src=[
+            None if b.src is None else np.asarray(b.src)
+            for b in ell.buckets
+        ],
+    )
 
 
 def ell_pair_cached(by_user: CountsMatrix, by_item: CountsMatrix):
@@ -316,5 +391,8 @@ def ell_pair_cached(by_user: CountsMatrix, by_item: CountsMatrix):
     if hit is None:
         hit = ell_ops.ell_pair_from_counts(by_user, by_item)
         _ELL_CACHE.clear()  # keep at most one pair alive
+        _ELL_AUX.clear()
         _ELL_CACHE[key] = hit
+        for ell in hit:
+            _ELL_AUX[id(ell)] = _make_aux(ell)
     return hit

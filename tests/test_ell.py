@@ -187,3 +187,89 @@ def test_ell_bf16_planes_quality(rng):
     llf = float(obj.eval_llk(Af, Bf, by_user))
     llb = float(obj.eval_llk(Ab, Bb, by_user))
     assert abs(llf - llb) / abs(llf) < 1e-3
+
+
+def test_compact_selection_machinery(rng, monkeypatch):
+    """select_active/build_compact/scatter_back: compact f/g/diag values
+    must equal the full evaluation at the selected rows, including long-row
+    extension chunks."""
+    monkeypatch.setattr(ell_ops, "P_MAX", 32)
+    rows, cols, vals = synth_counts(rng, n_users=300, n_items=120,
+                                    density=0.3)
+    by_user, _, _, B0 = _setup(rows, cols, vals, 300, 120, k=6)
+    k = 6
+    ell = ell_ops.ell_from_counts(by_user)
+    assert any(b.src is not None for b in ell.buckets)
+    r = np.random.default_rng(2)
+    B = jnp.asarray(r.uniform(0.3, 0.31, (by_user.n_cols, k)).astype(np.float32))
+    Ap = jnp.asarray(
+        r.uniform(0.2, 0.5, (ell.n_rows_ell, k)).astype(np.float32)
+    )
+    has = np.asarray(ell.row_nnz_perm) > 0
+    Ap = jnp.where(jnp.asarray(has)[:, None], Ap, 0.0)
+    Bsum = obj.make_bsum(B, by_user.n_cols, 0.3)
+    planes = ell_ops.gather_planes(B, ell)
+
+    prim = np.where(has)[0]
+    act_rows = r.choice(prim, size=max(3, len(prim) // 20), replace=False)
+    active = np.zeros(ell.n_rows_ell, dtype=bool)
+    active[act_rows] = True
+
+    plan = ell_ops.plan_compact(ell)
+    src_host = [None if b.src is None else np.asarray(b.src)
+                for b in ell.buckets]
+    sel = ell_ops.select_active(
+        ell, plan, active, np.asarray(ell.row_nnz_perm), src_host
+    )
+    assert sel is not None
+    compact, slot_map = ell_ops.build_compact(ell, plan, *sel)
+    planes_c = ell_ops.gather_planes(B, compact)
+    x_c = jnp.take(Ap, slot_map, axis=0)
+
+    f_full, g_full, _, d_full = ell_ops.fgh_ell(Ap, planes, ell, Bsum, 1e2)
+    f_c, g_c, _, d_c = ell_ops.fgh_ell(x_c, planes_c, compact, Bsum, 1e2)
+
+    sm = np.asarray(slot_map)
+    real = sm != ell.n_rows_ell - 1
+    assert set(sm[real].tolist()) == set(act_rows.tolist())
+    np.testing.assert_allclose(
+        np.asarray(f_c)[real], np.asarray(f_full)[sm[real]],
+        rtol=3e-5, atol=1e-2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_c)[real], np.asarray(g_full)[sm[real]],
+        rtol=3e-5, atol=1e-2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(d_c)[real], np.asarray(d_full)[sm[real]],
+        rtol=3e-5, atol=1e-2,
+    )
+
+    x2 = np.asarray(
+        ell_ops.scatter_back(Ap, x_c * 2.0, slot_map, compact.row_nnz_perm)
+    )
+    Apn = np.asarray(Ap)
+    np.testing.assert_allclose(x2[active], 2 * Apn[active], rtol=1e-6)
+    inactive = ~active
+    inactive[ell.n_rows_ell - 1] = False  # tail may be rewritten with zeros
+    np.testing.assert_allclose(x2[inactive], Apn[inactive], rtol=1e-6)
+
+
+def test_compact_tail_fit_parity(rng):
+    """Staged compact-tail fit must match the single-stage fit."""
+    rows, cols, vals = synth_counts(rng, n_users=400, n_items=150,
+                                    density=0.15)
+    by_user, by_item, _, _ = _setup(rows, cols, vals, 400, 150)
+    k = 8
+    r = np.random.default_rng(1)
+    A0 = initialize_factors(400, by_user.n_rows_pad, k, r, np.float32)
+    B0 = initialize_factors(150, by_item.n_rows_pad, k, r, np.float32)
+    common = dict(k=k, method="tncg", niter=6, l2_reg=1e2, maxupd=150,
+                  reuse_prev=True)
+    Ac, Bc, _ = run_poismf(A0, B0, by_user, by_item,
+                           FitParams(compact_tail=False, **common))
+    An, Bn, _ = run_poismf(A0, B0, by_user, by_item,
+                           FitParams(compact_tail=True, **common))
+    llc = float(obj.eval_llk(Ac, Bc, by_user))
+    lln = float(obj.eval_llk(An, Bn, by_user))
+    assert abs(llc - lln) / abs(llc) < 2e-3
