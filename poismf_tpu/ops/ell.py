@@ -380,16 +380,37 @@ def gather_planes(
     pass streams these planes linearly.  ``dtype=jnp.bfloat16`` halves the
     dominant HBM traffic of the whole fit (values promote back to f32 inside
     the fused loops, so only the stored B values lose mantissa bits)."""
-    import jax.numpy as jnp
+    return _gather_planes_jit(M, ell, _dtype_name(dtype))
 
-    planes = []
-    for b in ell.buckets:
-        bg = jnp.take(M, b.cols, axis=0)  # [R_b, P, k]
-        bg = jnp.transpose(bg, (2, 1, 0))  # [k, P, R_b]
-        if dtype is not None:
-            bg = bg.astype(dtype)
-        planes.append(bg)
-    return tuple(planes)
+
+def _dtype_name(dtype) -> Optional[str]:
+    return None if dtype is None else str(np.dtype(dtype))
+
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
+def _gather_planes_compiled(dtype_name):
+    import jax
+
+    def run(M, ell):
+        import jax.numpy as jnp
+
+        planes = []
+        for b in ell.buckets:
+            bg = jnp.take(M, b.cols, axis=0)  # [R_b, P, k]
+            bg = jnp.transpose(bg, (2, 1, 0))  # [k, P, R_b]
+            if dtype_name is not None:
+                bg = bg.astype(dtype_name)
+            planes.append(bg)
+        return tuple(planes)
+
+    return jax.jit(run)
+
+
+def _gather_planes_jit(M, ell, dtype_name):
+    return _gather_planes_compiled(dtype_name)(M, ell)
 
 
 def _bucket_x(A_perm, b: EllBucket):
@@ -614,7 +635,7 @@ class CompactPlan:
     denom: int  # capacity divisor used
 
 
-def plan_compact(ell: EllMatrix, denom: int = 8) -> CompactPlan:
+def plan_compact(ell: EllMatrix, denom: int = 4) -> CompactPlan:
     caps = []
     offsets = []
     off = 0
