@@ -635,7 +635,7 @@ class CompactPlan:
     denom: int  # capacity divisor used
 
 
-def plan_compact(ell: EllMatrix, denom: int = 4) -> CompactPlan:
+def plan_compact(ell: EllMatrix, denom: int = 8) -> CompactPlan:
     caps = []
     offsets = []
     off = 0

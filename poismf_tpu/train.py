@@ -290,7 +290,7 @@ def _run_poismf_ell(
             target_p, planes, ell, bsum_in,
             l2_reg=p.l2_reg, w_mult=p.w_mult, maxupd=p.maxupd,
             reuse_prev=p.reuse_prev, track_unchanged=False,
-            max_outer=2, return_stats=True,
+            max_outer=3, return_stats=True,
         )
         active = np.asarray(st["active"])
         new = x1
