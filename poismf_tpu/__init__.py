@@ -17,4 +17,4 @@ __version__ = "0.1.0"
 from .sparse import CountsMatrix, build_counts, build_both_orientations, ingest
 from .ops.objective import eval_llk, poisson_fg, poisson_f
 from .train import FitParams, run_poismf, initialize_factors
-from .model import PoisMF
+from .models import PoisMF
