@@ -246,8 +246,18 @@ def run_poismf_sharded(
     """Sharded alternating driver - the multi-chip twin of train.run_poismf.
 
     A is sharded over users, B over items; each half-step all-gathers the
-    fixed side over ICI (inserted by XLA from the sharding specs)."""
+    fixed side over ICI (inserted by XLA from the sharding specs).  With
+    ``layout="ell"`` (the default) the per-device solvers run on the
+    gather-free planar-ELL layout (see .ell_mesh); ``layout="coo"`` keeps
+    the flat sorted-COO per-device path."""
     p = params.resolved()
+    if p.layout == "ell":
+        from .ell_mesh import run_poismf_ell_sharded
+
+        return run_poismf_ell_sharded(
+            A, B, by_user, by_item, p, mesh,
+            handle_interrupt=handle_interrupt, callback=callback,
+        )
     D = int(np.prod(mesh.devices.shape))
     su = shard_counts(by_user, D)
     si = shard_counts(by_item, D)

@@ -102,3 +102,27 @@ def test_sharded_model_class(mesh):
     assert model.A.shape[0] == model.nusers
     top = model.topN(df["UserId"].iloc[0], n=5)
     assert len(top) == 5
+
+
+@pytest.mark.parametrize("method,kw,tol", [
+    ("pg", dict(l2_reg=1.0, niter=4, maxupd=5, initial_step=1e-3), 1e-5),
+    # CG's trajectory is reduction-order sensitive at non-converged points
+    ("cg", dict(l2_reg=1.0, niter=4, maxupd=5), 3e-2),
+    ("tncg", dict(l2_reg=1.0, niter=3, maxupd=100, reuse_prev=True), 1e-4),
+])
+def test_sharded_ell_fit_matches_single_device(mesh, method, kw, tol):
+    """The default (planar-ELL) sharded path vs the single-device ELL fit."""
+    by_user, by_item, A, B, (n_users, n_items, k) = _problem()
+    p = FitParams(k=k, method=method, layout="ell", compact_tail=False, **kw)
+
+    A1, B1, _ = run_poismf(A, B, by_user, by_item, p)
+    A8, B8, _ = run_poismf_sharded(A, B, by_user, by_item, p, mesh)
+
+    A8a = jnp.concatenate([
+        jnp.asarray(A8)[:n_users],
+        jnp.zeros((by_user.n_rows_pad - n_users, k)),
+    ])
+    ll1 = float(eval_llk(A1, B1, by_user))
+    ll8 = float(eval_llk(A8a, jnp.asarray(B8)[: by_item.n_rows_pad],
+                         by_user))
+    assert abs(ll1 - ll8) / abs(ll1) < tol, (ll1, ll8)
