@@ -445,6 +445,89 @@ def _assemble(ell: EllMatrix, pieces: Sequence[Any], shape, dtype):
 
 PRED_EPS = 1e-30
 
+# Pallas fused-kernel backend: "auto" (on for TPU backends), "on",
+# "interpret" (for CPU correctness tests), or "off" (pure jax.numpy).
+import os as _os
+
+_PALLAS_MODE = _os.environ.get("POISMF_PALLAS", "auto")
+
+
+def _pallas_state():
+    if _PALLAS_MODE == "off":
+        return None
+    if _PALLAS_MODE == "interpret":
+        return "interpret"
+    if _PALLAS_MODE == "on":
+        return "compiled"
+    import jax
+
+    return "compiled" if jax.default_backend() == "tpu" else None
+
+
+def _bucket_data_fgh(b: EllBucket, bg, A_T, w_mult: float):
+    """One bucket's fused data terms; Pallas single-plane-read kernel on TPU,
+    jnp fallback elsewhere.  Returns (neg_llk [R], grad [R,k], diag [R,k],
+    w2 [P,R])."""
+    import jax.numpy as jnp
+
+    mode = _pallas_state()
+    if mode is not None and bg.dtype != jnp.float64:
+        from . import pallas_kernels as pk
+
+        nll, grad, diag, w2 = pk.fgh_bucket(
+            bg, b.vals.astype(jnp.float32), A_T.astype(jnp.float32),
+            w_mult=float(w_mult), interpret=(mode == "interpret"),
+        )
+        dt = A_T.dtype
+        return (nll.astype(dt), grad.T.astype(dt), diag.T.astype(dt),
+                w2.astype(dt))
+
+    pred = jnp.sum(bg * A_T[:, None, :], axis=0)  # [P, R_b]
+    safe = jnp.maximum(pred, PRED_EPS)
+    valid = b.vals > 0
+    logt = jnp.where(valid, b.vals * jnp.log(safe), 0.0)
+    w = jnp.where(valid, b.vals / safe, 0.0)
+    w2 = jnp.where(valid, w_mult * b.vals / (safe * safe), 0.0)
+    return (
+        -jnp.sum(logt, axis=0),
+        -jnp.sum(w[None] * bg, axis=1).T,
+        jnp.sum(w2[None] * (bg * bg), axis=1).T,
+        w2,
+    )
+
+
+def _bucket_data_f(b: EllBucket, bg, A_T):
+    import jax.numpy as jnp
+
+    mode = _pallas_state()
+    if mode is not None and bg.dtype != jnp.float64:
+        from . import pallas_kernels as pk
+
+        nll = pk.f_bucket(
+            bg, b.vals.astype(jnp.float32), A_T.astype(jnp.float32),
+            interpret=(mode == "interpret"),
+        )
+        return nll.astype(A_T.dtype)
+    pred = jnp.sum(bg * A_T[:, None, :], axis=0)
+    logt = jnp.where(b.vals > 0, b.vals * jnp.log(pred), 0.0)
+    return -jnp.sum(logt, axis=0)
+
+
+def _bucket_data_hvp(bg, w2, V_T):
+    import jax.numpy as jnp
+
+    mode = _pallas_state()
+    if mode is not None and bg.dtype != jnp.float64:
+        from . import pallas_kernels as pk
+
+        out = pk.hvp_bucket(
+            bg, w2.astype(jnp.float32), V_T.astype(jnp.float32),
+            interpret=(mode == "interpret"),
+        )
+        return out.T.astype(V_T.dtype)
+    bv = jnp.sum(bg * V_T[:, None, :], axis=0)  # [P, R_b]
+    return jnp.sum((w2 * bv)[None] * bg, axis=1).T
+
 
 def fgh_ell(
     A_perm,
@@ -471,15 +554,10 @@ def fgh_ell(
     neg_llks, grads, diags, w2s = [], [], [], []
     for b, bg in zip(ell.buckets, planes):
         A_T = _bucket_x(A_perm, b).T  # [k, R_b]
-        pred = jnp.sum(bg * A_T[:, None, :], axis=0)  # [P, R_b]
-        safe = jnp.maximum(pred, PRED_EPS)
-        valid = b.vals > 0
-        logt = jnp.where(valid, b.vals * jnp.log(safe), 0.0)
-        w = jnp.where(valid, b.vals / safe, 0.0)
-        w2 = jnp.where(valid, w_mult * b.vals / (safe * safe), 0.0)
-        neg_llks.append(-jnp.sum(logt, axis=0))  # [R_b]
-        grads.append(-jnp.sum(w[None] * bg, axis=1).T)  # [R_b, k]
-        diags.append(jnp.sum(w2[None] * (bg * bg), axis=1).T)  # [R_b, k]
+        nll, gd, dd, w2 = _bucket_data_fgh(b, bg, A_T, w_mult)
+        neg_llks.append(nll)  # [R_b]
+        grads.append(gd)  # [R_b, k]
+        diags.append(dd)  # [R_b, k]
         w2s.append(w2)
 
     neg_llk = _assemble(ell, neg_llks, (), dtype)
@@ -518,9 +596,7 @@ def f_ell(
     neg_llks = []
     for b, bg in zip(ell.buckets, planes):
         A_T = _bucket_x(A_perm, b).T
-        pred = jnp.sum(bg * A_T[:, None, :], axis=0)
-        logt = jnp.where(b.vals > 0, b.vals * jnp.log(pred), 0.0)
-        neg_llks.append(-jnp.sum(logt, axis=0))
+        neg_llks.append(_bucket_data_f(b, bg, A_T))
     neg_llk = _assemble(ell, neg_llks, (), dtype)
     if w_mult != 1.0:
         neg_llk = w_mult * neg_llk
@@ -608,8 +684,7 @@ def hvp_ell(
     outs = []
     for b, bg, w2 in zip(ell.buckets, planes, w2s):
         V_T = _bucket_x(V_perm, b).T
-        bv = jnp.sum(bg * V_T[:, None, :], axis=0)  # [P, R_b]
-        outs.append(jnp.sum((w2 * bv)[None] * bg, axis=1).T)  # [R_b, k]
+        outs.append(_bucket_data_hvp(bg, w2, V_T))  # [R_b, k]
     data = _assemble(ell, outs, (k,), V_perm.dtype)
     return 2.0 * l2_reg * V_perm + data
 

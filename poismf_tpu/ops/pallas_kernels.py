@@ -1,0 +1,214 @@
+"""Pallas TPU kernels for the planar-ELL objective evaluations.
+
+The XLA lowering of :func:`poismf_tpu.ops.ell.fgh_ell` reads each bucket's
+plane ``bg[k, P, R]`` roughly three times (prediction, gradient reduction,
+Hessian-diagonal reduction).  These kernels fuse the WHOLE evaluation into a
+single streaming read of the plane per grid block:
+
+  fgh :  pred -> log/weights -> { -sum_p x*log(pred),            [R]
+                                  -sum_p (x/pred) * bg,          [k, R]
+                                   sum_p (x/pred^2) * bg^2,      [k, R]
+                                   w2 = w_mult * x/pred^2 }      [P, R]
+  f   :  pred -> -sum_p x*log(pred)  (NO eps floor: a non-positive
+         prediction poisons the row with +inf/NaN, matching the line-search
+         rejection semantics of the reference, nonnegcg.c:223-226)
+  hvp :  bv = sum_k bg*v ;  out = sum_p (w2*bv) * bg
+
+Grid layout per bucket: rows (lanes) outer x nonzero-slots (sublanes) inner,
+with the k axis kept whole inside the block; the [k, R] accumulators live in
+VMEM across the inner P sweep (the revisited-output accumulation pattern).
+All arithmetic is f32 regardless of the plane storage dtype (bf16 planes
+upcast in registers).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+PRED_EPS = 1e-30
+
+# block sizes: R on lanes (multiples of 128), P on sublanes; sized so the
+# double-buffered bg block [k, TILE_P, TILE_R] stays well inside VMEM
+TILE_R = 256
+TILE_P = 64
+
+
+def _tiles(P: int, Rb: int) -> Tuple[int, int]:
+    # P is a power of two; Rb a multiple of 128 — pick the largest tile
+    # sizes that DIVIDE the dims (grid uses exact division)
+    tp = min(P, TILE_P)
+    tr = TILE_R
+    while Rb % tr:
+        tr //= 2
+    return tp, tr
+
+
+def _f32(x):
+    return x.astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# fused f / grad / diag / w2 (data terms only; linear+L2 added by the caller)
+# ---------------------------------------------------------------------------
+
+
+def _fgh_kernel(w_mult, bg_ref, vals_ref, at_ref,
+                nll_ref, grad_ref, diag_ref, w2_ref):
+    pj = pl.program_id(1)
+
+    @pl.when(pj == 0)
+    def _():
+        nll_ref[...] = jnp.zeros_like(nll_ref)
+        grad_ref[...] = jnp.zeros_like(grad_ref)
+        diag_ref[...] = jnp.zeros_like(diag_ref)
+
+    bg = _f32(bg_ref[...])  # [k, TP, TR]
+    a = at_ref[...]  # [k, TR]
+    vals = vals_ref[...]  # [TP, TR]
+    pred = jnp.sum(bg * a[:, None, :], axis=0)  # [TP, TR]
+    safe = jnp.maximum(pred, PRED_EPS)
+    valid = vals > 0
+    logt = jnp.where(valid, vals * jnp.log(safe), 0.0)
+    w = jnp.where(valid, vals / safe, 0.0)
+    w2 = jnp.where(valid, w_mult * vals / (safe * safe), 0.0)
+    nll_ref[...] += -jnp.sum(logt, axis=0)[None, :]
+    grad_ref[...] += jnp.sum((-w)[None] * bg, axis=1)
+    diag_ref[...] += jnp.sum(w2[None] * (bg * bg), axis=1)
+    w2_ref[...] = w2
+
+
+@functools.partial(jax.jit, static_argnames=("w_mult", "interpret"))
+def fgh_bucket(bg, vals, a_t, w_mult: float = 1.0, interpret: bool = False):
+    """Fused data-term evaluation for one bucket.
+
+    bg [k, P, R] (any float dtype), vals [P, R] f32, a_t [k, R] f32 ->
+    (neg_llk [R], grad_data [k, R], diag_data [k, R], w2 [P, R]).
+    """
+    k, P, Rb = bg.shape
+    tp, tr = _tiles(P, Rb)
+    grid = (Rb // tr, P // tp)
+    out = pl.pallas_call(
+        functools.partial(_fgh_kernel, w_mult),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((k, tp, tr), lambda ri, pj: (0, pj, ri),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tp, tr), lambda ri, pj: (pj, ri),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, tr), lambda ri, pj: (0, ri),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tr), lambda ri, pj: (0, ri),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, tr), lambda ri, pj: (0, ri),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, tr), lambda ri, pj: (0, ri),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tp, tr), lambda ri, pj: (pj, ri),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, Rb), jnp.float32),
+            jax.ShapeDtypeStruct((k, Rb), jnp.float32),
+            jax.ShapeDtypeStruct((k, Rb), jnp.float32),
+            jax.ShapeDtypeStruct((P, Rb), jnp.float32),
+        ],
+        interpret=interpret,
+    )(bg, vals, a_t)
+    nll, grad, diag, w2 = out
+    return nll[0], grad, diag, w2
+
+
+# ---------------------------------------------------------------------------
+# objective only (line-search trials; inf-poisoning preserved)
+# ---------------------------------------------------------------------------
+
+
+def _f_kernel(bg_ref, vals_ref, at_ref, nll_ref):
+    pj = pl.program_id(1)
+
+    @pl.when(pj == 0)
+    def _():
+        nll_ref[...] = jnp.zeros_like(nll_ref)
+
+    bg = _f32(bg_ref[...])
+    a = at_ref[...]
+    vals = vals_ref[...]
+    pred = jnp.sum(bg * a[:, None, :], axis=0)
+    logt = jnp.where(vals > 0, vals * jnp.log(pred), 0.0)
+    nll_ref[...] += -jnp.sum(logt, axis=0)[None, :]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def f_bucket(bg, vals, a_t, interpret: bool = False):
+    k, P, Rb = bg.shape
+    tp, tr = _tiles(P, Rb)
+    grid = (Rb // tr, P // tp)
+    out = pl.pallas_call(
+        _f_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((k, tp, tr), lambda ri, pj: (0, pj, ri),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tp, tr), lambda ri, pj: (pj, ri),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, tr), lambda ri, pj: (0, ri),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tr), lambda ri, pj: (0, ri),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, Rb), jnp.float32),
+        interpret=interpret,
+    )(bg, vals, a_t)
+    return out[0]
+
+
+# ---------------------------------------------------------------------------
+# Hessian-vector product (one plane read; bv and the w2-weighted reduction
+# both consume the in-register block)
+# ---------------------------------------------------------------------------
+
+
+def _hvp_kernel(bg_ref, w2_ref, vt_ref, out_ref):
+    pj = pl.program_id(1)
+
+    @pl.when(pj == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    bg = _f32(bg_ref[...])
+    v = vt_ref[...]
+    w2 = w2_ref[...]
+    bv = jnp.sum(bg * v[:, None, :], axis=0)  # [TP, TR]
+    out_ref[...] += jnp.sum((w2 * bv)[None] * bg, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def hvp_bucket(bg, w2, v_t, interpret: bool = False):
+    k, P, Rb = bg.shape
+    tp, tr = _tiles(P, Rb)
+    grid = (Rb // tr, P // tp)
+    out = pl.pallas_call(
+        _hvp_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((k, tp, tr), lambda ri, pj: (0, pj, ri),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tp, tr), lambda ri, pj: (pj, ri),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, tr), lambda ri, pj: (0, ri),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((k, tr), lambda ri, pj: (0, ri),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k, Rb), jnp.float32),
+        interpret=interpret,
+    )(bg, w2, v_t)
+    return out

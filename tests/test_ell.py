@@ -273,3 +273,33 @@ def test_compact_tail_fit_parity(rng):
     llc = float(obj.eval_llk(Ac, Bc, by_user))
     lln = float(obj.eval_llk(An, Bn, by_user))
     assert abs(llc - lln) / abs(llc) < 2e-3
+
+
+def test_pallas_interpret_parity(rng, monkeypatch):
+    """Pallas fused kernels (interpret mode) vs the jnp bucket path."""
+    rows, cols, vals = synth_counts(rng, n_users=150, n_items=60,
+                                    density=0.12)
+    by_user, _, A, B = _setup(rows, cols, vals, 150, 60)
+    ell = ell_ops.ell_from_counts(by_user)
+    planes = ell_ops.gather_planes(B, ell)
+    A_p = ell_ops.permute_rows(A, ell.perm)
+    Bsum = obj.make_bsum(B, 60, 0.1)
+
+    monkeypatch.setattr(ell_ops, "_PALLAS_MODE", "off")
+    f0, g0, w20, d0 = ell_ops.fgh_ell(A_p, planes, ell, Bsum, 1e2)
+    h0 = ell_ops.hvp_ell(A_p, planes, ell, w20, 1e2)
+    fo0 = ell_ops.f_ell(A_p, planes, ell, Bsum, 1e2)
+
+    monkeypatch.setattr(ell_ops, "_PALLAS_MODE", "interpret")
+    f1, g1, w21, d1 = ell_ops.fgh_ell(A_p, planes, ell, Bsum, 1e2)
+    h1 = ell_ops.hvp_ell(A_p, planes, ell, w21, 1e2)
+    fo1 = ell_ops.f_ell(A_p, planes, ell, Bsum, 1e2)
+
+    np.testing.assert_allclose(f1, f0, rtol=1e-5, atol=1e-2)
+    np.testing.assert_allclose(g1, g0, rtol=1e-5, atol=1e-2)
+    np.testing.assert_allclose(d1, d0, rtol=1e-5, atol=1e-2)
+    np.testing.assert_allclose(h1, h0, rtol=1e-4, atol=1e-1)
+    m = np.isfinite(np.asarray(fo0))
+    np.testing.assert_allclose(
+        np.asarray(fo1)[m], np.asarray(fo0)[m], rtol=1e-5, atol=1e-2
+    )
