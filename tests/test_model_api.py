@@ -181,3 +181,33 @@ def test_checkpoint_roundtrip(fitted, tmp_path):
 def test_repr(fitted):
     model, _ = fitted
     assert "fitted" in repr(model)
+
+
+def test_float64_fit_subprocess():
+    """use_float=False enables x64 globally; run in a subprocess to keep
+    this process's f32 default intact."""
+    import os, subprocess, sys, textwrap
+
+    code = textwrap.dedent("""
+        import os
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import numpy as np, pandas as pd
+        from poismf_tpu import PoisMF
+        rng = np.random.default_rng(1)
+        df = pd.DataFrame({
+            "UserId": rng.integers(0, 60, 800),
+            "ItemId": rng.integers(0, 30, 800),
+            "Count": rng.poisson(3, 800) + 1.0,
+        })
+        m = PoisMF(k=5, method="tncg", niter=2, maxupd=50, use_float=False)
+        m.fit(df)
+        assert m.A.dtype == np.float64, m.A.dtype
+        ll = m.eval_llk()
+        assert np.isfinite(ll)
+        print("F64-OK", ll)
+    """)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=300, cwd=os.path.dirname(os.path.dirname(__file__)),
+    )
+    assert "F64-OK" in out.stdout, out.stdout + out.stderr
