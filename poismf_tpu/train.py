@@ -373,8 +373,9 @@ _ELL_AUX: dict = {}
 
 
 # compact capacity levels, tried smallest-first: a ~2% steady-state tail
-# solves at 1/16 of the full per-pass cost, a mid-epoch 10-25% tail at 1/4
-COMPACT_DENOMS = (16, 4)
+# solves at 1/16 of the full per-pass cost, a mid-epoch 10-25% tail at 1/4,
+# and early-epoch 25-50% tails still halve their continuation cost
+COMPACT_DENOMS = (16, 4, 2)
 
 
 def _make_aux(ell):
