@@ -33,6 +33,9 @@ from .solvers.tncg import tncg_update
 
 NEG_INF = -jnp.inf
 
+# batch out-of-sample solves larger than this take the planar-ELL path
+ELL_SERVE_NNZ_THRESHOLD = 100_000
+
 
 @jax.jit
 def predict_pairs(A: jnp.ndarray, B: jnp.ndarray, ixA: jnp.ndarray,
@@ -148,6 +151,10 @@ def factors_multiple(
     ``Bsum`` must already include the training l1 (pred.c:78).
     """
     p = params.resolved()
+    # large batches take the gather-free planar-ELL path
+    if p.layout == "ell" and X_new.nnz > ELL_SERVE_NNZ_THRESHOLD:
+        return _factors_multiple_ell(B, Bsum, Amean, X_new, p, reuse_mean)
+
     R = X_new.n_rows_pad
     k = B.shape[1]
     dtype = B.dtype
@@ -184,6 +191,59 @@ def factors_multiple(
             track_unchanged=False, nnz_chunk=p.nnz_chunk,
         )
     return A
+
+
+def _factors_multiple_ell(
+    B: jnp.ndarray,
+    Bsum: jnp.ndarray,
+    Amean: jnp.ndarray,
+    X_new: CountsMatrix,
+    p: FitParams,
+    reuse_mean: bool,
+) -> jnp.ndarray:
+    """Batch out-of-sample solve on the planar-ELL layout (B fixed, columns
+    reference B's original row order).  Returns rows in X_new's order."""
+    from .ops import ell as ell_ops
+    from .solvers.pg import pg_update_ell
+    from .solvers.cg import cg_update_ell
+    from .solvers.tncg import tncg_update_ell
+
+    k = B.shape[1]
+    dtype = B.dtype
+    ell = ell_ops.ell_from_counts(X_new)
+    plane_dtype = None if p.plane_dtype is None else jnp.dtype(p.plane_dtype)
+    planes = ell_ops.gather_planes(B, ell, plane_dtype)
+    bsum_in = Bsum.astype(dtype)
+    if p.w_mult != 1.0:
+        bsum_in = ell_ops.adjusted_bsum_ell(planes, ell, bsum_in, p.w_mult)
+
+    A0 = jnp.broadcast_to(Amean.astype(dtype), (ell.n_rows_ell, k))
+
+    if p.method == "pg":
+        step = p.initial_step
+        A = A0
+        for _ in range(p.niter):
+            A = pg_update_ell(
+                A, planes, ell, bsum_in,
+                jnp.asarray(p.l2_reg, dtype=dtype),
+                jnp.asarray(step, dtype=dtype),
+                w_mult=p.w_mult, maxupd=p.maxupd,
+            )
+            step *= 0.5
+    elif p.method == "cg":
+        A = cg_update_ell(
+            A0, planes, ell, bsum_in,
+            l2_reg=p.l2_reg, w_mult=p.w_mult,
+            maxupd=p.maxupd * p.niter, limit_step=p.limit_step,
+        )
+    else:
+        A, _ = tncg_update_ell(
+            A0, planes, ell, bsum_in,
+            l2_reg=p.l2_reg, w_mult=p.w_mult, maxupd=p.maxupd,
+            reuse_prev=reuse_mean, track_unchanged=False,
+        )
+    out = ell_ops.permute_rows(A, ell.inv_perm)  # back to input row order
+    return out
 
 
 def factors_single(

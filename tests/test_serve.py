@@ -163,3 +163,36 @@ def test_factors_multiple_matches_training_users(rng, method):
                              np.asarray(B)[cols[sel]])
         corr = np.corrcoef(pred_new, pred_old)[0, 1]
         assert corr > 0.8, corr
+
+
+@pytest.mark.parametrize("method", ["pg", "cg", "tncg"])
+def test_factors_multiple_ell_path(rng, method, monkeypatch):
+    """The large-batch planar-ELL transform path matches the COO path."""
+    from poismf_tpu import serve as serve_mod
+    from poismf_tpu.sparse import build_both_orientations, build_counts
+    from poismf_tpu.train import FitParams, initialize_factors, run_poismf
+
+    rows, cols, vals = synth_counts(rng, 120, 50, density=0.15)
+    by_user, by_item = build_both_orientations(rows, cols, vals, 120, 50)
+    k = 6
+    r = np.random.default_rng(1)
+    A0 = initialize_factors(120, by_user.n_rows_pad, k, r, np.float32)
+    B0 = initialize_factors(50, by_item.n_rows_pad, k, r, np.float32)
+    p = FitParams(k=k, method=method, niter=3, l2_reg=1e2, maxupd=20)
+    A, B, _ = run_poismf(A0, B0, by_user, by_item, p)
+    Bsum = jnp.sum(B, axis=0)
+    Amean = jnp.mean(A[:120], axis=0)
+
+    new_rows, new_cols, new_vals = synth_counts(
+        np.random.default_rng(5), 40, 50, density=0.2
+    )
+    X_new = build_counts(new_rows, new_cols, new_vals, 40, 50,
+                         dtype=np.float32)
+
+    out_coo = serve_mod.factors_multiple(B, Bsum, Amean, X_new, p)
+    monkeypatch.setattr(serve_mod, "ELL_SERVE_NNZ_THRESHOLD", 0)
+    out_ell = serve_mod.factors_multiple(B, Bsum, Amean, X_new, p)
+    a, b = np.asarray(out_coo)[:40], np.asarray(out_ell)[:40]
+    ll_diff = np.abs(a - b).max()
+    # same math, different fp trajectory -> allow small divergence
+    np.testing.assert_allclose(a, b, rtol=5e-2, atol=5e-3)
