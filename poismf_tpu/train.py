@@ -284,24 +284,29 @@ def _run_poismf_ell(
             converged = bool(share >= 0.95) if early_stop else False
             return new, converged
 
-        # --- staged solve: a few full-batch outer iterations, then finish
-        # the still-active tail on a compact sub-problem (ops/ell.py) ---
-        x1, _, st = tncg_update_ell(
-            target_p, planes, ell, bsum_in,
+        # --- annealing cascade: run a few outer iterations, then re-select
+        # the smallest structure (full batch / 1/2 / 1/4 / 1/16 capacity)
+        # that fits the shrinking still-active tail (ops/ell.py).  The
+        # batched stand-in for the reference's per-row adaptive iteration
+        # counts: converged rows stop costing HBM bandwidth.
+        solver_kw = dict(
             l2_reg=p.l2_reg, w_mult=p.w_mult, maxupd=p.maxupd,
-            reuse_prev=p.reuse_prev, track_unchanged=False,
-            max_outer=3, return_stats=True,
+            track_unchanged=False,
         )
-        active = np.asarray(st["active"])
-        new = x1
-        if active.any():
+        MAX_ROUNDS = 8
+        ROUND_ITERS = 4
+        x = target_p
+        active = None  # None = all rows (first round)
+        for rnd in range(MAX_ROUNDS):
+            last = rnd == MAX_ROUNDS - 1
             sel = plan = None
-            for plan in aux["plans"]:  # smallest capacity first
-                sel = ell_ops.select_active(
-                    ell, plan, active, aux["row_nnz"], aux["src"]
-                )
-                if sel is not None:
-                    break
+            if active is not None:
+                for plan in aux["plans"]:  # smallest capacity first
+                    sel = ell_ops.select_active(
+                        ell, plan, active, aux["row_nnz"], aux["src"]
+                    )
+                    if sel is not None:
+                        break
             if sel is not None:
                 compact, slot_map = ell_ops.build_compact(ell, plan, *sel)
                 planes_c = ell_ops.gather_planes(
@@ -311,24 +316,48 @@ def _run_poismf_ell(
                     bsum_in if bsum_in.ndim == 1
                     else jnp.take(bsum_in, slot_map, axis=0)
                 )
-                x_c0 = jnp.take(x1, slot_map, axis=0)
-                x_c, _ = tncg_update_ell(
-                    x_c0, planes_c, compact, bsum_c,
-                    l2_reg=p.l2_reg, w_mult=p.w_mult, maxupd=p.maxupd,
-                    reuse_prev=True, track_unchanged=False,
-                )
-                new = ell_ops.scatter_back(
-                    x1, x_c, slot_map, compact.row_nnz_perm
+                x_c = jnp.take(x, slot_map, axis=0)
+                if last:
+                    x_c, _ = tncg_update_ell(
+                        x_c, planes_c, compact, bsum_c,
+                        reuse_prev=True, **solver_kw,
+                    )
+                    act_next = None
+                else:
+                    x_c, _, st = tncg_update_ell(
+                        x_c, planes_c, compact, bsum_c,
+                        reuse_prev=True, max_outer=ROUND_ITERS,
+                        return_stats=True, **solver_kw,
+                    )
+                    act_c = np.asarray(st["active"])
+                    sm = np.asarray(slot_map)
+                    act_next = np.zeros(ell.n_rows_ell, dtype=bool)
+                    live = act_c & (sm != ell.n_rows_ell - 1)
+                    act_next[sm[live]] = True
+                x = ell_ops.scatter_back(
+                    x, x_c, slot_map, compact.row_nnz_perm
                 )
             else:
-                # tail too large for the compact capacities: continue
-                # full-batch, restricted to the still-active rows
-                new, _ = tncg_update_ell(
-                    x1, planes, ell, bsum_in,
-                    l2_reg=p.l2_reg, w_mult=p.w_mult, maxupd=p.maxupd,
-                    reuse_prev=True, track_unchanged=False,
-                    active_mask=jnp.asarray(active),
-                )
+                mask = None if active is None else jnp.asarray(active)
+                if last:
+                    x, _ = tncg_update_ell(
+                        x, planes, ell, bsum_in,
+                        reuse_prev=(p.reuse_prev if rnd == 0 else True),
+                        active_mask=mask, **solver_kw,
+                    )
+                    act_next = None
+                else:
+                    x, _, st = tncg_update_ell(
+                        x, planes, ell, bsum_in,
+                        reuse_prev=(p.reuse_prev if rnd == 0 else True),
+                        max_outer=(3 if rnd == 0 else ROUND_ITERS),
+                        return_stats=True, active_mask=mask, **solver_kw,
+                    )
+                    act_next = np.asarray(st["active"])
+            if act_next is None or not act_next.any():
+                break
+            active = act_next
+        new = x
         converged = False
         if early_stop:
             has = ell.row_nnz_perm > 0
