@@ -623,8 +623,19 @@ def fg_ell(
     k = A_perm.shape[1]
     dtype = A_perm.dtype
     neg_llks, grads = [], []
+    mode = _pallas_state()
     for b, bg in zip(ell.buckets, planes):
         A_T = _bucket_x(A_perm, b).T
+        if mode is not None and bg.dtype != jnp.float64:
+            from . import pallas_kernels as pk
+
+            nll, gd = pk.fg_bucket(
+                bg, b.vals.astype(jnp.float32), A_T.astype(jnp.float32),
+                w_mult=1.0, interpret=(mode == "interpret"),
+            )
+            neg_llks.append(nll.astype(dtype))
+            grads.append(gd.T.astype(dtype))
+            continue
         pred = jnp.sum(bg * A_T[:, None, :], axis=0)
         safe = jnp.maximum(pred, PRED_EPS)
         valid = b.vals > 0
@@ -659,8 +670,18 @@ def pg_grad_ell(
 
     k = A_perm.shape[1]
     parts = []
+    mode = _pallas_state()
     for b, bg in zip(ell.buckets, planes):
         A_T = _bucket_x(A_perm, b).T
+        if mode is not None and bg.dtype != jnp.float64:
+            from . import pallas_kernels as pk
+
+            gd = pk.pg_bucket(
+                bg, b.vals.astype(jnp.float32), A_T.astype(jnp.float32),
+                interpret=(mode == "interpret"),
+            )
+            parts.append(gd.T.astype(A_perm.dtype))
+            continue
         pred = jnp.sum(bg * A_T[:, None, :], axis=0)
         w = jnp.where(
             b.vals > 0, b.vals / jnp.maximum(pred, PRED_EPS), 0.0

@@ -127,6 +127,105 @@ def fgh_bucket(bg, vals, a_t, w_mult: float = 1.0, interpret: bool = False):
 
 
 # ---------------------------------------------------------------------------
+# f + grad (CG evaluations; no Hessian data)
+# ---------------------------------------------------------------------------
+
+
+def _fg_kernel(w_mult, bg_ref, vals_ref, at_ref, nll_ref, grad_ref):
+    pj = pl.program_id(1)
+
+    @pl.when(pj == 0)
+    def _():
+        nll_ref[...] = jnp.zeros_like(nll_ref)
+        grad_ref[...] = jnp.zeros_like(grad_ref)
+
+    bg = _f32(bg_ref[...])
+    a = at_ref[...]
+    vals = vals_ref[...]
+    pred = jnp.sum(bg * a[:, None, :], axis=0)
+    safe = jnp.maximum(pred, PRED_EPS)
+    valid = vals > 0
+    logt = jnp.where(valid, vals * jnp.log(safe), 0.0)
+    w = jnp.where(valid, vals / safe, 0.0)
+    nll_ref[...] += -jnp.sum(logt, axis=0)[None, :]
+    grad_ref[...] += jnp.sum((-w)[None] * bg, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("w_mult", "interpret"))
+def fg_bucket(bg, vals, a_t, w_mult: float = 1.0, interpret: bool = False):
+    k, P, Rb = bg.shape
+    tp, tr = _tiles(P, Rb)
+    grid = (Rb // tr, P // tp)
+    out = pl.pallas_call(
+        functools.partial(_fg_kernel, w_mult),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((k, tp, tr), lambda ri, pj: (0, pj, ri),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tp, tr), lambda ri, pj: (pj, ri),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, tr), lambda ri, pj: (0, ri),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tr), lambda ri, pj: (0, ri),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, tr), lambda ri, pj: (0, ri),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, Rb), jnp.float32),
+            jax.ShapeDtypeStruct((k, Rb), jnp.float32),
+        ],
+        interpret=interpret,
+    )(bg, vals, a_t)
+    return out[0][0], out[1]
+
+
+# ---------------------------------------------------------------------------
+# PG data term: sum_p (x/pred) * bg  (gradient numerator only)
+# ---------------------------------------------------------------------------
+
+
+def _pg_kernel(bg_ref, vals_ref, at_ref, grad_ref):
+    pj = pl.program_id(1)
+
+    @pl.when(pj == 0)
+    def _():
+        grad_ref[...] = jnp.zeros_like(grad_ref)
+
+    bg = _f32(bg_ref[...])
+    a = at_ref[...]
+    vals = vals_ref[...]
+    pred = jnp.sum(bg * a[:, None, :], axis=0)
+    w = jnp.where(vals > 0, vals / jnp.maximum(pred, PRED_EPS), 0.0)
+    grad_ref[...] += jnp.sum(w[None] * bg, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pg_bucket(bg, vals, a_t, interpret: bool = False):
+    k, P, Rb = bg.shape
+    tp, tr = _tiles(P, Rb)
+    grid = (Rb // tr, P // tp)
+    return pl.pallas_call(
+        _pg_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((k, tp, tr), lambda ri, pj: (0, pj, ri),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tp, tr), lambda ri, pj: (pj, ri),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, tr), lambda ri, pj: (0, ri),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((k, tr), lambda ri, pj: (0, ri),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k, Rb), jnp.float32),
+        interpret=interpret,
+    )(bg, vals, a_t)
+
+
+# ---------------------------------------------------------------------------
 # objective only (line-search trials; inf-poisoning preserved)
 # ---------------------------------------------------------------------------
 
