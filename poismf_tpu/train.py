@@ -308,6 +308,10 @@ def _run_poismf_ell(
                     if sel is not None:
                         break
             if sel is not None:
+                # a tail that fits the smallest capacity is cheap enough to
+                # finish in one unbounded solve
+                if plan is aux["plans"][0]:
+                    last = True
                 compact, slot_map = ell_ops.build_compact(ell, plan, *sel)
                 planes_c = ell_ops.gather_planes(
                     fixed_p, compact, plane_dtype
