@@ -47,6 +47,8 @@ def main():
     print(f"{n_users} users x {n_items} items, "
           f"train nnz {Xtr.nnz}, test nnz {Xte.nnz}")
 
+    print("note: each config's first fit includes XLA compilation "
+          "(minutes on a tunneled TPU; cached afterwards)")
     configs = [
         ("pg",   dict(k=10, method="pg", l2_reg=1e9, niter=10, maxupd=1)),
         ("cg",   dict(k=args.k, method="cg", l2_reg=1e4, niter=30, maxupd=5)),

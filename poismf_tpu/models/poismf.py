@@ -48,8 +48,13 @@ class PoisMF:
 
     ``nthreads``/``n_jobs`` are accepted for drop-in compatibility but have no
     effect: parallelism comes from the XLA runtime and, when a device mesh is
-    passed, from sharding rows across TPU chips (``mesh=`` / ``nnz_chunk=``
-    are the TPU-specific knobs).
+    passed, from sharding rows across TPU chips.
+
+    TPU-specific knobs: ``mesh`` (a ``jax.sharding.Mesh`` — rows sharded
+    across its devices), ``layout`` ('auto'|'ell'|'coo' — planar-ELL is the
+    gather-free fast path and the default), ``plane_dtype`` ('bfloat16'
+    halves hot-loop HBM traffic at ~1e-4 relative LL impact), and
+    ``nnz_chunk`` (bounds peak memory on the flat-COO backend).
     """
 
     def __init__(self, k=50, method="tncg",
