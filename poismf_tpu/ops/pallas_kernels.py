@@ -34,16 +34,18 @@ from jax.experimental.pallas import tpu as pltpu
 PRED_EPS = 1e-30
 
 # block sizes: R on lanes (multiples of 128), P on sublanes; sized so the
-# double-buffered bg block [k, TILE_P, TILE_R] stays well inside VMEM
+# double-buffered bg block [k, TILE_P, TILE_R] stays well inside the ~16MB
+# scoped VMEM (bf16 planes afford 2x larger blocks)
 TILE_R = 256
 TILE_P = 64
 
 
-def _tiles(P: int, Rb: int) -> Tuple[int, int]:
+def _tiles(P: int, Rb: int, itemsize: int = 4) -> Tuple[int, int]:
     # P is a power of two; Rb a multiple of 128 — pick the largest tile
     # sizes that DIVIDE the dims (grid uses exact division)
+    tile_r = TILE_R * (2 if itemsize <= 2 else 1)
     tp = min(P, TILE_P)
-    tr = TILE_R
+    tr = tile_r
     while Rb % tr:
         tr //= 2
     return tp, tr
@@ -91,7 +93,7 @@ def fgh_bucket(bg, vals, a_t, w_mult: float = 1.0, interpret: bool = False):
     (neg_llk [R], grad_data [k, R], diag_data [k, R], w2 [P, R]).
     """
     k, P, Rb = bg.shape
-    tp, tr = _tiles(P, Rb)
+    tp, tr = _tiles(P, Rb, bg.dtype.itemsize)
     grid = (Rb // tr, P // tp)
     out = pl.pallas_call(
         functools.partial(_fgh_kernel, w_mult),
@@ -154,7 +156,7 @@ def _fg_kernel(w_mult, bg_ref, vals_ref, at_ref, nll_ref, grad_ref):
 @functools.partial(jax.jit, static_argnames=("w_mult", "interpret"))
 def fg_bucket(bg, vals, a_t, w_mult: float = 1.0, interpret: bool = False):
     k, P, Rb = bg.shape
-    tp, tr = _tiles(P, Rb)
+    tp, tr = _tiles(P, Rb, bg.dtype.itemsize)
     grid = (Rb // tr, P // tp)
     out = pl.pallas_call(
         functools.partial(_fg_kernel, w_mult),
@@ -205,7 +207,7 @@ def _pg_kernel(bg_ref, vals_ref, at_ref, grad_ref):
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def pg_bucket(bg, vals, a_t, interpret: bool = False):
     k, P, Rb = bg.shape
-    tp, tr = _tiles(P, Rb)
+    tp, tr = _tiles(P, Rb, bg.dtype.itemsize)
     grid = (Rb // tr, P // tp)
     return pl.pallas_call(
         _pg_kernel,
@@ -248,7 +250,7 @@ def _f_kernel(bg_ref, vals_ref, at_ref, nll_ref):
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def f_bucket(bg, vals, a_t, interpret: bool = False):
     k, P, Rb = bg.shape
-    tp, tr = _tiles(P, Rb)
+    tp, tr = _tiles(P, Rb, bg.dtype.itemsize)
     grid = (Rb // tr, P // tp)
     out = pl.pallas_call(
         _f_kernel,
@@ -292,7 +294,7 @@ def _hvp_kernel(bg_ref, w2_ref, vt_ref, out_ref):
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def hvp_bucket(bg, w2, v_t, interpret: bool = False):
     k, P, Rb = bg.shape
-    tp, tr = _tiles(P, Rb)
+    tp, tr = _tiles(P, Rb, bg.dtype.itemsize)
     grid = (Rb // tr, P // tp)
     out = pl.pallas_call(
         _hvp_kernel,
