@@ -42,10 +42,10 @@ TILE_P = 64
 
 def _tiles(P: int, Rb: int, itemsize: int = 4) -> Tuple[int, int]:
     # P is a power of two; Rb a multiple of 128 — pick the largest tile
-    # sizes that DIVIDE the dims (grid uses exact division)
-    tile_r = TILE_R * (2 if itemsize <= 2 else 1)
+    # sizes that DIVIDE the dims (grid uses exact division).  Larger R tiles
+    # for bf16 planes OOM the ~16MB scoped VMEM once double-buffered.
     tp = min(P, TILE_P)
-    tr = tile_r
+    tr = TILE_R
     while Rb % tr:
         tr //= 2
     return tp, tr
