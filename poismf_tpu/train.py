@@ -295,10 +295,7 @@ def _run_poismf_ell(
         )
         MAX_ROUNDS = 8
         ROUND_ITERS = 4
-        # adaptive round 0: if this half's tail was tiny last epoch, spend
-        # only one full-batch outer iteration before compacting
-        hist = _TAIL_HISTORY.setdefault(id(ell), 1.0)
-        round0_iters = 1 if hist < 0.05 else 3
+        round0_iters = 3
         x = target_p
         active = None  # None = all rows (first round)
         for rnd in range(MAX_ROUNDS):
@@ -363,13 +360,7 @@ def _run_poismf_ell(
                         return_stats=True, active_mask=mask, **solver_kw,
                     )
                     act_next = np.asarray(st["active"])
-            if rnd == 0 and act_next is not None:
-                _TAIL_HISTORY[id(ell)] = (
-                    float(act_next.sum()) / max(ell.n_rows, 1)
-                )
             if act_next is None or not act_next.any():
-                if rnd == 0 and act_next is None:
-                    _TAIL_HISTORY[id(ell)] = 0.0
                 break
             active = act_next
         new = x
@@ -414,8 +405,6 @@ def _run_poismf_ell(
 # compaction metadata (static capacities + host copies of nnz/src) per ELL.
 _ELL_CACHE: dict = {}
 _ELL_AUX: dict = {}
-# observed round-0 tail fraction per ELL (adaptive cascade pacing)
-_TAIL_HISTORY: dict = {}
 
 
 # compact capacity levels, tried smallest-first: a ~2% steady-state tail
@@ -446,7 +435,6 @@ def ell_pair_cached(by_user: CountsMatrix, by_item: CountsMatrix):
         hit = ell_ops.ell_pair_from_counts(by_user, by_item)
         _ELL_CACHE.clear()  # keep at most one pair alive
         _ELL_AUX.clear()
-        _TAIL_HISTORY.clear()
         _ELL_CACHE[key] = hit
         for ell in hit:
             _ELL_AUX[id(ell)] = _make_aux(ell)
