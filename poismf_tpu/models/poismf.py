@@ -10,7 +10,6 @@ maps to jnp dtypes instead of twin C extensions.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple, Union
 
 import numpy as np
 
@@ -22,7 +21,6 @@ from ..ops import objective as obj
 from ..sparse import (
     CountsMatrix,
     IngestResult,
-    build_both_orientations,
     build_counts,
     ingest,
 )

@@ -30,7 +30,6 @@ memory-bandwidth knob for very large datasets.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

@@ -17,7 +17,7 @@ hardware-friendly partial sort.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 import jax

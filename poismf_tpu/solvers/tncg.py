@@ -49,7 +49,7 @@ poismf.c:393-403.
 from __future__ import annotations
 
 import functools
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Callable, Optional, Tuple
 
 import numpy as _np
 import jax

@@ -11,7 +11,7 @@ for the @K metrics, and a full sort + searchsorted for AUC ranks.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import numpy as np
 import jax
