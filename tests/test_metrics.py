@@ -72,3 +72,48 @@ def test_ranking_metrics_vs_numpy(rng):
     ref = _numpy_reference(A, B, Xtr, Xte, 5)
     for name in ref:
         assert abs(ours[name] - ref[name]) < 2e-3, (name, ours, ref)
+
+
+def test_train_test_split(rng):
+    from poismf_tpu.utils.data import train_test_split
+
+    n_users, n_items = 80, 40
+    dense = (rng.random((n_users, n_items)) < 0.2) * (
+        rng.poisson(3.0, (n_users, n_items)) + 1.0
+    )
+    X = scipy_sparse.csr_matrix(dense)
+    Xtr, Xte, test_users = train_test_split(
+        X, test_fraction=0.25, users_test=30, seed=3
+    )
+    # partition: train + test == original, disjoint
+    assert (Xtr + Xte != X).nnz == 0
+    assert Xtr.multiply(Xte).nnz == 0
+    assert len(test_users) <= 30 and len(test_users) > 0
+    # every test user keeps at least one training item
+    tr_nnz = np.diff(Xtr.indptr)
+    te_nnz = np.diff(Xte.indptr)
+    assert (tr_nnz[test_users] >= 1).all()
+    assert (te_nnz[test_users] >= 1).all()
+    # non-test users have nothing held out
+    others = np.setdiff1d(np.arange(n_users), test_users)
+    assert te_nnz[others].sum() == 0
+
+
+def test_split_plus_metrics_end_to_end(rng):
+    """Full quality workflow: split -> fit -> ranking metrics."""
+    from poismf_tpu import PoisMF
+    from poismf_tpu.utils.data import train_test_split
+    from poismf_tpu.utils.metrics import ranking_metrics
+
+    n_users, n_items = 100, 60
+    # genuinely low-rank Poisson data so there is structure to learn
+    A_true = rng.gamma(0.7, 1.0, (n_users, 4))
+    B_true = rng.gamma(0.7, 1.0, (n_items, 4))
+    dense = rng.poisson(A_true @ B_true.T)
+    X = scipy_sparse.csr_matrix(dense)
+    Xtr, Xte, test_users = train_test_split(X, seed=2)
+    m = PoisMF(k=6, method="tncg", niter=3, maxupd=60).fit(Xtr.tocoo())
+    mets = ranking_metrics(m.A, m.B, Xtr, Xte, k=5, users=test_users)
+    assert 0.0 <= mets["p_at_k"] <= 1.0
+    assert 0.0 <= mets["roc_auc"] <= 1.0
+    assert mets["roc_auc"] > 0.5  # model beats random ranking
