@@ -25,6 +25,7 @@ def main():
     from bench import synth_lastfm_like, N_USERS, N_ITEMS, NNZ_TARGET
     import scipy.sparse as sp
     from poismf_tpu import PoisMF
+    from poismf_tpu.utils.data import train_test_split
     from poismf_tpu.utils.metrics import ranking_metrics
 
     n_users = int(N_USERS * args.scale)
@@ -34,15 +35,10 @@ def main():
         rng, n_users, n_items, int(NNZ_TARGET * args.scale)
     )
 
-    # per-user holdout split (like recometrics' create_reco_train_test)
-    test_mask = rng.random(rows.shape[0]) < 0.2
-    Xtr = sp.csr_matrix(
-        (vals[~test_mask], (rows[~test_mask], cols[~test_mask])),
-        shape=(n_users, n_items),
-    )
-    Xte = sp.csr_matrix(
-        (vals[test_mask], (rows[test_mask], cols[test_mask])),
-        shape=(n_users, n_items),
+    # per-user holdout split (the reference notebook uses recometrics here)
+    X = sp.csr_matrix((vals, (rows, cols)), shape=(n_users, n_items))
+    Xtr, Xte, test_users = train_test_split(
+        X, test_fraction=0.2, users_test=10_000, seed=1
     )
     print(f"{n_users} users x {n_items} items, "
           f"train nnz {Xtr.nnz}, test nnz {Xte.nnz}")
@@ -61,7 +57,7 @@ def main():
         t0 = time.time()
         m.fit(Xtr.tocoo())
         fit_s = time.time() - t0
-        mets = ranking_metrics(m.A, m.B, Xtr, Xte, k=5)
+        mets = ranking_metrics(m.A, m.B, Xtr, Xte, k=5, users=test_users)
         print(f"{name:5s} fit {fit_s:7.1f}s  "
               f"P@5 {mets['p_at_k']:.4f}  NDCG@5 {mets['ndcg_at_k']:.4f}  "
               f"AUC {mets['roc_auc']:.4f}  "
