@@ -196,3 +196,37 @@ def test_factors_multiple_ell_path(rng, method, monkeypatch):
     ll_diff = np.abs(a - b).max()
     # same math, different fp trajectory -> allow small divergence
     np.testing.assert_allclose(a, b, rtol=5e-2, atol=5e-3)
+
+
+def test_top_n_batched_with_exclusion_mask(rng):
+    """Batched full-catalog ranking with per-user exclusion masks."""
+    A = jnp.asarray(rng.uniform(0, 1, (6, 5)).astype(np.float32))
+    B = jnp.asarray(rng.uniform(0, 1, (30, 5)).astype(np.float32))
+    mask = np.zeros((6, 30), dtype=bool)
+    banned = rng.integers(0, 30, size=(6, 4))
+    for u in range(6):
+        mask[u, banned[u]] = True
+    vals, idx = serve.top_n_batched(A, B, 5, jnp.asarray(mask))
+    idx = np.asarray(idx)
+    for u in range(6):
+        assert not set(idx[u].tolist()) & set(np.flatnonzero(mask[u]).tolist())
+        # equals per-user top_n with the same exclusions
+        ref = serve.top_n(A[u], B, n_top=5,
+                          exclude_ix=np.flatnonzero(mask[u]).astype(np.int32))
+        np.testing.assert_array_equal(idx[u], ref)
+
+
+def test_top_n_validation_errors(rng):
+    a = jnp.asarray(rng.uniform(0, 1, (5,)).astype(np.float32))
+    B = jnp.asarray(rng.uniform(0, 1, (10, 5)).astype(np.float32))
+    with pytest.raises(ValueError):
+        serve.top_n(a, B, n_top=0)
+    with pytest.raises(ValueError):
+        serve.top_n(a, B, n_top=11)
+    with pytest.raises(ValueError):
+        serve.top_n(a, B, n_top=3, include_ix=np.array([1, 2]))
+    with pytest.raises(ValueError):  # can't exclude more than n - n_top
+        serve.top_n(a, B, n_top=8, exclude_ix=np.arange(5))
+    with pytest.raises(ValueError):
+        serve.top_n(a, B, n_top=2, include_ix=np.array([1, 2, 3]),
+                    exclude_ix=np.array([4]))
