@@ -58,31 +58,38 @@ def load_model(cls, path: str):
     with np.load(path, allow_pickle=True) as data:
         hp = json.loads(bytes(data["hyperparams"]).decode("utf-8"))
         model = cls(**hp)
-        model.nusers = int(data["nusers"])
-        model.nitems = int(data["nitems"])
-        model.is_fitted = bool(data["is_fitted"])
-        if model.is_fitted:
-            from ..sparse import _pad_to, ROW_PAD_MULTIPLE
-
-            A = data["A"]
-            B = data["B"]
-            A_pad = np.zeros(
-                (_pad_to(model.nusers, ROW_PAD_MULTIPLE), A.shape[1]),
-                dtype=A.dtype,
-            )
-            A_pad[: model.nusers] = A
-            B_pad = np.zeros(
-                (_pad_to(model.nitems, ROW_PAD_MULTIPLE), B.shape[1]),
-                dtype=B.dtype,
-            )
-            B_pad[: model.nitems] = B
-            model._A = jnp.asarray(A_pad)
-            model._B = jnp.asarray(B_pad)
-            if "Bsum" in data:
-                model.Bsum = jnp.asarray(data["Bsum"])
-                model.Amean = jnp.asarray(data["Amean"])
-        if "user_mapping" in data:
-            model.user_mapping_ = data["user_mapping"]
-            model.item_mapping_ = data["item_mapping"]
-            model._produce_dicts()
+        # float64 checkpoints need the scoped x64 context or jnp.asarray
+        # below would silently downcast the factors to f32
+        with model._x64_scope():
+            _restore(model, data)
     return model
+
+
+def _restore(model, data):
+    model.nusers = int(data["nusers"])
+    model.nitems = int(data["nitems"])
+    model.is_fitted = bool(data["is_fitted"])
+    if model.is_fitted:
+        from ..sparse import _pad_to, ROW_PAD_MULTIPLE
+
+        A = data["A"]
+        B = data["B"]
+        A_pad = np.zeros(
+            (_pad_to(model.nusers, ROW_PAD_MULTIPLE), A.shape[1]),
+            dtype=A.dtype,
+        )
+        A_pad[: model.nusers] = A
+        B_pad = np.zeros(
+            (_pad_to(model.nitems, ROW_PAD_MULTIPLE), B.shape[1]),
+            dtype=B.dtype,
+        )
+        B_pad[: model.nitems] = B
+        model._A = jnp.asarray(A_pad)
+        model._B = jnp.asarray(B_pad)
+        if "Bsum" in data:
+            model.Bsum = jnp.asarray(data["Bsum"])
+            model.Amean = jnp.asarray(data["Amean"])
+    if "user_mapping" in data:
+        model.user_mapping_ = data["user_mapping"]
+        model.item_mapping_ = data["item_mapping"]
+        model._produce_dicts()

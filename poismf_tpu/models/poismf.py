@@ -10,6 +10,8 @@ maps to jnp dtypes instead of twin C extensions.
 
 from __future__ import annotations
 
+import contextlib
+import functools
 
 import numpy as np
 
@@ -31,6 +33,21 @@ __all__ = ["PoisMF"]
 
 def _as_1d(x):
     return np.require(x, requirements=["ENSUREARRAY"]).reshape(-1)
+
+
+def _scoped(fn):
+    """Run a compute method under a SCOPED x64 context when the model is
+    float64 (``use_float=False``), instead of flipping the process-global
+    ``jax_enable_x64`` flag (the reference selects dtype per-extension,
+    poismf/__init__.py:294; here the jnp dtype plus this scope is the
+    equivalent without global side effects)."""
+
+    @functools.wraps(fn)
+    def wrapper(self, *args, **kwargs):
+        with self._x64_scope():
+            return fn(self, *args, **kwargs)
+
+    return wrapper
 
 
 class PoisMF:
@@ -96,6 +113,9 @@ class PoisMF:
     def _reset_state(self):
         self._A = None  # device array [n_users_pad, k]
         self._B = None  # device array [n_items_pad, k]
+        self._by_user = None  # training data (device), absent after load()
+        self._by_item = None
+        self._fit_status = None
         self.user_mapping_ = np.empty(0, dtype=object)
         self.item_mapping_ = np.empty(0, dtype=object)
         self.user_dict_ = dict()
@@ -110,9 +130,11 @@ class PoisMF:
     def dtype(self):
         return np.float32 if self.use_float else np.float64
 
-    def _maybe_enable_x64(self):
-        if not self.use_float:
-            jax.config.update("jax_enable_x64", True)
+    def _x64_scope(self):
+        """Scoped x64 for float64 models; a no-op for the float32 default."""
+        if self.use_float:
+            return contextlib.nullcontext()
+        return jax.enable_x64()
 
     def _params(self) -> FitParams:
         return FitParams(
@@ -149,6 +171,7 @@ class PoisMF:
 
     # ------------------------------------------------------------------- fit
 
+    @_scoped
     def fit(self, X):
         """Fit the model to a counts matrix.
 
@@ -156,7 +179,6 @@ class PoisMF:
         ``(rows, cols, vals, (n_users, n_items))`` tuple.  Passing a COO
         forces ``reindex=False`` (like poismf/__init__.py:380-384).
         """
-        self._maybe_enable_x64()
         p = self._params()
         if not _is_df(X):
             self.reindex = False  # COO input forces reindex off (:380-384)
@@ -195,17 +217,18 @@ class PoisMF:
             )
         self._A, self._B = A, B
         self._by_user, self._by_item = by_user, by_item
+        self._user_items_csr_cache = None
         # serving-side sufficient statistics (poismf/__init__.py:438-439)
         self.Bsum = obj.make_bsum(B, self.nitems, p.l1_reg)
         self.Amean = jnp.mean(self._A[: self.nusers], axis=0)
         self.is_fitted = True
         self._fit_status = status
 
+    @_scoped
     def fit_unsafe(self, A, B, Xcsr, Xcsc):
         """No-validation fast path taking pre-initialized A [m,k], B [n,k] and
         the data in CSR and CSC (poismf/__init__.py:441-495).  Doubles as the
         warm-start/resume mechanism.  Arrays are used as-is (reindex off)."""
-        self._maybe_enable_x64()
         p = self._params()
         self.reindex = False
         A = np.asarray(A, dtype=self.dtype)
@@ -247,6 +270,7 @@ class PoisMF:
 
     # --------------------------------------------------------------- predict
 
+    @_scoped
     def predict(self, user, item):
         """Expected counts for user/item pairs; invalid ids -> NaN
         (poismf/__init__.py:726-834)."""
@@ -297,6 +321,7 @@ class PoisMF:
         exclude_ix = _remap(exclude) if exclude is not None else None
         return include_ix, exclude_ix
 
+    @_scoped
     def topN(self, user, n=10, include=None, exclude=None, output_score=False):
         """Top-N highest-predicted items for an existing user
         (poismf/__init__.py:837-930)."""
@@ -325,6 +350,64 @@ class PoisMF:
             return idx, np.asarray(score)
         return idx
 
+    @_scoped
+    def topN_batched(self, users, n=10, exclude_seen=False,
+                     output_score=False):
+        """Top-N for a BATCH of existing users in one MXU matmul
+        (``serve.top_n_batched``) — the high-throughput serving path the
+        reference can only emulate by looping ``topN`` per user
+        (poismf/__init__.py:837-930 serves one user per C call).
+
+        ``exclude_seen=True`` masks out each user's own training items
+        (requires the training data, i.e. a model fitted in this process).
+        Returns ``[len(users), n]`` item ids (remapped when ``reindex``),
+        plus scores when ``output_score``.
+        """
+        assert self.is_fitted
+        u = self._map_users(users)
+        if np.any(u < 0) or np.any(u >= self.nusers):
+            raise ValueError("'users' contains invalid users.")
+        u = u.astype(np.int32)
+        mask = None
+        if exclude_seen or self._B.shape[0] != self.nitems:
+            mask = np.zeros((u.shape[0], self._B.shape[0]), dtype=bool)
+            mask[:, self.nitems:] = True  # padded item rows
+            if exclude_seen:
+                indptr, indices = self._user_items_csr()
+                for q, uu in enumerate(u):
+                    mask[q, indices[indptr[uu]:indptr[uu + 1]]] = True
+            mask = jnp.asarray(mask)
+        if n > self.nitems:
+            raise ValueError("'n' is larger than the number of items.")
+        vals, idx = serve.top_n_batched(
+            jnp.take(self._A, jnp.asarray(u), axis=0), self._B, n,
+            exclude_mask=mask,
+        )
+        idx = np.asarray(idx)
+        if self.reindex and len(self.item_mapping_):
+            idx = np.asarray(self.item_mapping_)[idx]
+        if output_score:
+            return idx, np.asarray(vals)
+        return idx
+
+    def _user_items_csr(self):
+        """Host CSR (indptr, indices) of the training by-user matrix, cached
+        after the first call (one device->host transfer)."""
+        if self._by_user is None:
+            raise ValueError(
+                "No training data attached to this model (e.g. it was "
+                "restored from a checkpoint); 'exclude_seen' is unavailable."
+            )
+        cached = getattr(self, "_user_items_csr_cache", None)
+        if cached is None:
+            from ..sparse import csr_like
+
+            indptr, indices, _ = csr_like(self._by_user)
+            cached = (indptr, indices)
+            self._user_items_csr_cache = cached
+        return cached
+
+    @_scoped
     def topN_new(self, X, n=10, include=None, exclude=None,
                  output_score=False, l2_reg=None, l1_reg=None,
                  weight_mult=None, maxupd=None):
@@ -371,6 +454,7 @@ class PoisMF:
             raise ValueError("'X' contains invalid items.")
         return items.astype(np.int32), counts.astype(self.dtype)
 
+    @_scoped
     def predict_factors(self, X, l2_reg=None, l1_reg=None, weight_mult=None,
                         maxupd=None):
         """Latent factors for one NEW user - always uses TNCG regardless of
@@ -385,7 +469,9 @@ class PoisMF:
         out = serve.factors_single(
             self._B, self.Bsum, self.Amean, items, counts,
             l2_reg=l2, l1_new=l1_new, l1_old=p.l1_reg, w_mult=w,
-            maxupd=mu, reuse_mean=True, n_items=self.nitems,
+            # init from Amean only when reuse_prev, else 1e-3 — matching the
+            # reference's plumb-through (__init__.py:567; pred.c:273-279)
+            maxupd=mu, reuse_mean=self.reuse_prev, n_items=self.nitems,
         )
         out = np.asarray(out)
         if np.any(np.isnan(out)):
@@ -398,6 +484,7 @@ class PoisMF:
             )
         return out
 
+    @_scoped
     def transform(self, X, y=None):
         """Latent factors for a BATCH of new users, same method and
         hyperparameters as fit (poismf/__init__.py:619-692).
@@ -450,12 +537,19 @@ class PoisMF:
 
     # ------------------------------------------------------------ evaluation
 
+    @_scoped
     def eval_llk(self, X=None, full_llk=False, include_missing=False):
         """Poisson log-likelihood of the fitted model on its training data (or
         on new triplets) - the reference declares this in its C API
         (poismf.h:258-269) but never shipped an implementation."""
         assert self.is_fitted
         if X is None:
+            if self._by_user is None:
+                raise ValueError(
+                    "No training data attached to this model (e.g. it was "
+                    "restored from a checkpoint). Pass X=(users, items, "
+                    "counts) triplets to evaluate."
+                )
             return float(
                 obj.eval_llk(self._A, self._B, self._by_user,
                              full_llk=full_llk,

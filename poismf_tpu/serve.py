@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .sparse import CountsMatrix, build_counts
+from .sparse import CountsMatrix, build_counts, dedupe_sum
 from .ops import objective as obj
 from .train import FitParams
 from .solvers.pg import pg_update
@@ -90,21 +90,24 @@ def top_n(
         vals, idx = _topn_include(a_vec, B, include_ix, n_top)
     else:
         mask = None
+        n_excl = 0
         if exclude_ix is not None or B.shape[0] != n:
             mask = jnp.zeros((B.shape[0],), dtype=bool)
             if B.shape[0] != n:  # mask padded item rows
                 mask = mask.at[n:].set(True)
             if exclude_ix is not None:
-                if len(exclude_ix) > n - n_top:
-                    raise ValueError(
-                        "Can't exclude more than n_items - n_top items."
-                    )
+                # any number of exclusions up to n_items - 1 is served, like
+                # the reference's swap-to-tail strategy (topN.c:155-169); if
+                # fewer than n_top candidates remain, the result is clipped
+                n_excl = int(np.unique(np.asarray(exclude_ix)).shape[0])
                 mask = mask.at[jnp.asarray(exclude_ix, dtype=jnp.int32)].set(
                     True
                 )
         if n_top > n:
             raise ValueError("'n_top' is larger than the number of items.")
-        vals, idx = _topn_scores_full(a_vec, B, n_top, mask)
+        if n - n_excl <= 0:
+            raise ValueError("All items are excluded.")
+        vals, idx = _topn_scores_full(a_vec, B, min(n_top, n - n_excl), mask)
     if output_score:
         return np.asarray(idx), np.asarray(vals)
     return np.asarray(idx)
@@ -275,6 +278,11 @@ def factors_single(
         return jnp.zeros((k,), dtype=dtype)
 
     n = B.shape[0] if n_items is None else n_items
+    # aggregate duplicate items so the w_mult Bsum re-weighting below counts
+    # each item once (the training ingest sums duplicates the same way)
+    _, item_ix, counts = dedupe_sum(
+        np.zeros_like(item_ix), item_ix, counts.astype(dtype), n
+    )
     X1 = build_counts(
         np.zeros_like(item_ix), item_ix, counts, 1, n, dtype=np.dtype(str(dtype))
     )

@@ -107,6 +107,32 @@ def _sort_by_row(
     return rows_s, cols_s, vals_s, counts
 
 
+def dedupe_sum(
+    rows: np.ndarray, cols: np.ndarray, vals: np.ndarray, n_cols: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Sum values of duplicate (row, col) pairs, like the reference's
+    ``coo.tocsr()`` ingestion does (poismf/__init__.py:405-414).
+
+    Duplicates matter beyond the (linear) objective: per-row nnz counts and
+    the weighted-Bsum adjustment count each edge once, so dirty input with
+    repeated pairs must be aggregated before layout building.  No-op (and
+    allocation-free) when there are no duplicates.
+    """
+    if rows.size == 0:
+        return rows, cols, vals
+    key = rows.astype(np.int64) * np.int64(n_cols) + cols
+    uniq, inv = np.unique(key, return_inverse=True)
+    if uniq.size == rows.size:
+        return rows, cols, vals
+    summed = np.zeros(uniq.size, dtype=vals.dtype)
+    np.add.at(summed, inv, vals)
+    return (
+        (uniq // n_cols).astype(rows.dtype),
+        (uniq % n_cols).astype(cols.dtype),
+        summed,
+    )
+
+
 def build_counts(
     rows: np.ndarray,
     cols: np.ndarray,
@@ -115,6 +141,7 @@ def build_counts(
     n_cols: int,
     dtype=np.float32,
     to_device: bool = True,
+    aggregate_duplicates: bool = True,
 ) -> CountsMatrix:
     """Build one orientation (row-major-sorted flat COO) of the counts matrix."""
     rows = np.asarray(rows, dtype=np.int32).reshape(-1)
@@ -126,6 +153,9 @@ def build_counts(
             raise ValueError("row indices out of range")
         if cols.min(initial=0) < 0 or (nnz and cols.max(initial=0) >= n_cols):
             raise ValueError("column indices out of range")
+    if aggregate_duplicates:
+        rows, cols, vals = dedupe_sum(rows, cols, vals, n_cols)
+        nnz = int(rows.shape[0])
 
     rows_s, cols_s, vals_s, counts = _sort_by_row(rows, cols, vals, n_rows)
 
@@ -171,8 +201,15 @@ def build_both_orientations(
     to_device: bool = True,
 ) -> Tuple[CountsMatrix, CountsMatrix]:
     """(by-row, by-col) views - the CSR+CSC pair of the reference."""
-    by_row = build_counts(rows, cols, vals, n_rows, n_cols, dtype, to_device)
-    by_col = build_counts(cols, rows, vals, n_cols, n_rows, dtype, to_device)
+    rows = np.asarray(rows, dtype=np.int32).reshape(-1)
+    cols = np.asarray(cols, dtype=np.int32).reshape(-1)
+    vals = np.asarray(vals, dtype=dtype).reshape(-1)
+    # aggregate once here rather than per-orientation
+    rows, cols, vals = dedupe_sum(rows, cols, vals, n_cols)
+    by_row = build_counts(rows, cols, vals, n_rows, n_cols, dtype, to_device,
+                          aggregate_duplicates=False)
+    by_col = build_counts(cols, rows, vals, n_cols, n_rows, dtype, to_device,
+                          aggregate_duplicates=False)
     return by_row, by_col
 
 

@@ -109,6 +109,7 @@ def _half_update(
     p: FitParams,
     step_size: float,
     early_stop: bool,
+    div_step: Optional[float] = None,
 ) -> Tuple[jnp.ndarray, bool]:
     """One half-iteration: optimize ``target`` rows against ``fixed``.
 
@@ -128,6 +129,8 @@ def _half_update(
             w_mult=p.w_mult,
             maxupd=p.maxupd,
             nnz_chunk=p.nnz_chunk,
+            div_step=(None if div_step is None
+                      else jnp.asarray(div_step, dtype=target.dtype)),
         )
         return new, False
     elif p.method == "cg":
@@ -192,16 +195,21 @@ def run_poismf(
 
     try:
         for epoch in range(p.niter):
+            div_step = step_size
             if not converged_B:
                 B, converged_B = _half_update(
                     B, A, by_item, n_users, p, step_size, p.early_stop
                 )
+            if p.method == "pg":
+                # the step halves BETWEEN the halves: A steps at s/2 while
+                # the proximal divisor stays computed from s (poismf.c:532
+                # sits inside the B-update switch; cnst_div set at :511)
+                step_size *= 0.5
             if not converged_A:
                 A, converged_A = _half_update(
-                    A, B, by_user, n_items, p, step_size, p.early_stop
+                    A, B, by_user, n_items, p, step_size, p.early_stop,
+                    div_step=div_step if p.method == "pg" else None,
                 )
-            if p.method == "pg":
-                step_size *= 0.5  # poismf.c:532
             if callback is not None:
                 callback(epoch, A, B)
             if p.method == "tncg" and converged_A and converged_B:
@@ -245,7 +253,7 @@ def _run_poismf_ell(
     if p.plane_dtype is not None:
         plane_dtype = jnp.dtype(p.plane_dtype)
 
-    def half(target_p, fixed_p, ell, early_stop, step):
+    def half(target_p, fixed_p, ell, early_stop, step, div_step=None):
         # colsums over the full padded matrix are exact: padding/empty rows
         # are identically zero (poismf.c:512-514 + l1 shift)
         Bsum = jnp.sum(fixed_p, axis=0) + p.l1_reg
@@ -261,6 +269,8 @@ def _run_poismf_ell(
                 jnp.asarray(p.l2_reg, dtype=target_p.dtype),
                 jnp.asarray(step, dtype=target_p.dtype),
                 w_mult=p.w_mult, maxupd=p.maxupd,
+                div_step=(None if div_step is None
+                          else jnp.asarray(div_step, dtype=target_p.dtype)),
             )
             return new, False
         if p.method == "cg":
@@ -377,12 +387,16 @@ def _run_poismf_ell(
     early = p.early_stop and p.method == "tncg"
     try:
         for epoch in range(p.niter):
+            div_step = step_size
             if not converged_B:
                 B_p, converged_B = half(B_p, A_p, ell_item, early, step_size)
-            if not converged_A:
-                A_p, converged_A = half(A_p, B_p, ell_user, early, step_size)
             if p.method == "pg":
-                step_size *= 0.5  # poismf.c:532
+                # halved between the halves (poismf.c:532); A's proximal
+                # divisor keeps the pre-halving step (poismf.c:511)
+                step_size *= 0.5
+            if not converged_A:
+                A_p, converged_A = half(A_p, B_p, ell_user, early, step_size,
+                                        div_step=div_step)
             if callback is not None:
                 callback(epoch,
                          ell_ops.permute_rows(A_p, ell_user.inv_perm),
@@ -399,10 +413,13 @@ def _run_poismf_ell(
     return A, B, status
 
 
-# Cache the host-side ELL builds keyed on the CountsMatrix identity so that
-# repeated fits on the same data (benchmark timing, warm starts) skip the
-# O(nnz) host work and device transfer.  _ELL_AUX holds the host-side
-# compaction metadata (static capacities + host copies of nnz/src) per ELL.
+# Cache the host-side ELL builds keyed on the identity of the CountsMatrix
+# index arrays so that repeated fits on the same data (benchmark timing, warm
+# starts) skip the O(nnz) host work and device transfer.  The cache entry
+# PINS strong references to the keyed arrays: id() keys stay valid for the
+# entry's whole lifetime, so a recycled id from a garbage-collected array can
+# never alias a live entry.  _ELL_AUX holds the host-side compaction metadata
+# (static capacities + host copies of nnz/src) per ELL.
 _ELL_CACHE: dict = {}
 _ELL_AUX: dict = {}
 
@@ -429,13 +446,19 @@ def _make_aux(ell):
 def ell_pair_cached(by_user: CountsMatrix, by_item: CountsMatrix):
     from .ops import ell as ell_ops
 
-    key = (id(by_user.row_ids), id(by_item.row_ids))
-    hit = _ELL_CACHE.get(key)
-    if hit is None:
+    referents = (
+        by_user.row_ids, by_user.col_ids, by_user.vals,
+        by_item.row_ids, by_item.col_ids, by_item.vals,
+    )
+    key = tuple(id(a) for a in referents)
+    entry = _ELL_CACHE.get(key)
+    if entry is None:
         hit = ell_ops.ell_pair_from_counts(by_user, by_item)
         _ELL_CACHE.clear()  # keep at most one pair alive
         _ELL_AUX.clear()
-        _ELL_CACHE[key] = hit
+        # pin the keyed arrays alongside the ELL pair (see comment above)
+        _ELL_CACHE[key] = (hit, referents)
         for ell in hit:
             _ELL_AUX[id(ell)] = _make_aux(ell)
-    return hit
+        return hit
+    return entry[0]

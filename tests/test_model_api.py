@@ -183,31 +183,133 @@ def test_repr(fitted):
     assert "fitted" in repr(model)
 
 
-def test_float64_fit_subprocess():
-    """use_float=False enables x64 globally; run in a subprocess to keep
-    this process's f32 default intact."""
-    import os, subprocess, sys, textwrap
+def test_float64_fit_scoped():
+    """use_float=False runs under a SCOPED x64 context: the f64 model works
+    in-process and the global jax_enable_x64 flag is left untouched."""
+    import jax
 
-    code = textwrap.dedent("""
-        import os
-        os.environ["JAX_PLATFORMS"] = "cpu"
-        import numpy as np, pandas as pd
-        from poismf_tpu import PoisMF
-        rng = np.random.default_rng(1)
-        df = pd.DataFrame({
-            "UserId": rng.integers(0, 60, 800),
-            "ItemId": rng.integers(0, 30, 800),
-            "Count": rng.poisson(3, 800) + 1.0,
-        })
-        m = PoisMF(k=5, method="tncg", niter=2, maxupd=50, use_float=False)
-        m.fit(df)
-        assert m.A.dtype == np.float64, m.A.dtype
-        ll = m.eval_llk()
-        assert np.isfinite(ll)
-        print("F64-OK", ll)
-    """)
-    out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True,
-        timeout=300, cwd=os.path.dirname(os.path.dirname(__file__)),
+    assert not jax.config.jax_enable_x64
+    rng = np.random.default_rng(1)
+    df = make_df(rng, 60, 30)
+    m = PoisMF(k=5, method="tncg", niter=2, maxupd=50, use_float=False)
+    m.fit(df)
+    assert m.A.dtype == np.float64
+    ll = m.eval_llk()
+    assert np.isfinite(ll)
+    u = df["UserId"].iloc[0]
+    assert np.isfinite(m.predict(u, df["ItemId"].iloc[0]))
+    assert len(m.topN(u, n=5)) == 5
+    # the process-global flag was never flipped (the reference builds twin
+    # C extensions instead; a library must not mutate global config)
+    assert not jax.config.jax_enable_x64
+
+
+def test_float64_checkpoint_roundtrip(tmp_path):
+    rng = np.random.default_rng(2)
+    df = make_df(rng, 40, 20)
+    m = PoisMF(k=4, method="cg", niter=3, maxupd=5, use_float=False).fit(df)
+    path = str(tmp_path / "m64.npz")
+    m.save(path)
+    loaded = PoisMF.load(path)
+    assert loaded.A.dtype == np.float64
+    np.testing.assert_allclose(loaded.A, m.A)
+    u = df["UserId"].iloc[0]
+    assert np.isfinite(loaded.predict(u, df["ItemId"].iloc[0]))
+
+
+def test_predict_factors_respects_reuse_prev():
+    """reuse_prev plumbs through to the cold-start init: Amean when True,
+    1e-3 when False (__init__.py:567; pred.c:273-279)."""
+    rng = np.random.default_rng(7)
+    df = make_df(rng, 50, 25)
+    sub = df[df["UserId"] == df["UserId"].iloc[0]][["ItemId", "Count"]]
+    kw = dict(k=5, method="tncg", l2_reg=1.0, niter=4, maxupd=25,
+              random_state=3)
+    m_reuse = PoisMF(reuse_prev=True, **kw).fit(df)
+    m_fresh = PoisMF(reuse_prev=False, **kw).fit(df)
+    # few updates from the two inits land in different places
+    a_reuse = m_reuse.predict_factors(sub, maxupd=3)
+    a_fresh = m_fresh.predict_factors(sub, maxupd=3)
+    assert not np.allclose(a_reuse, a_fresh)
+
+
+def test_eval_llk_after_load_raises(fitted, tmp_path):
+    """A restored checkpoint has factors but no training data: eval_llk()
+    without triplets must raise a clear error, and triplets must work."""
+    model, df = fitted
+    path = str(tmp_path / "m.npz")
+    model.save(path)
+    loaded = PoisMF.load(path)
+    with pytest.raises(ValueError, match="training data"):
+        loaded.eval_llk()
+    ll = loaded.eval_llk(
+        (df["UserId"].to_numpy(), df["ItemId"].to_numpy(),
+         df["Count"].to_numpy())
     )
-    assert "F64-OK" in out.stdout, out.stdout + out.stderr
+    assert np.isfinite(ll)
+
+
+def test_back_to_back_fits_different_data():
+    """Regression test for the ELL-structure cache: fitting a second,
+    different dataset right after the first must not reuse the first
+    dataset's layout (the cache pins its key arrays so a recycled id()
+    can never alias)."""
+    rng = np.random.default_rng(11)
+    kw = dict(k=5, method="tncg", l2_reg=1.0, niter=3, maxupd=30,
+              random_state=5)
+    df1 = make_df(rng, 60, 24)
+    df2 = make_df(rng, 60, 24)  # same shape, different entries
+    m1 = PoisMF(**kw).fit(df1)
+    m2 = PoisMF(**kw).fit(df2)
+    ll_mixed = m2.eval_llk()
+    # fresh process-state fit of df2 only
+    import poismf_tpu.train as train_mod
+
+    train_mod._ELL_CACHE.clear()
+    train_mod._ELL_AUX.clear()
+    m2_fresh = PoisMF(**kw).fit(df2)
+    np.testing.assert_allclose(m2.A, m2_fresh.A, rtol=1e-6, atol=1e-7)
+    assert np.isclose(ll_mixed, m2_fresh.eval_llk(), rtol=1e-6)
+
+
+def test_duplicate_pairs_are_summed():
+    """Ingest aggregates duplicate (user, item) pairs by summing, like the
+    reference's coo.tocsr() (__init__.py:405-414); with w_mult != 1 the
+    weighted Bsum adjustment then counts each pair once."""
+    rng = np.random.default_rng(13)
+    rows, cols, vals = synth_counts(rng, 40, 16, density=0.3)
+    # duplicate a third of the entries, splitting their counts in half
+    ndup = len(rows) // 3
+    rows_dirty = np.concatenate([rows, rows[:ndup], rows[:ndup]])
+    cols_dirty = np.concatenate([cols, cols[:ndup], cols[:ndup]])
+    vals_dirty = np.concatenate(
+        [np.where(np.arange(len(vals)) < ndup, vals / 2, vals),
+         vals[:ndup] / 4, vals[:ndup] / 4]
+    )
+    kw = dict(k=4, method="cg", l2_reg=1.0, niter=4, maxupd=5,
+              weight_mult=2.5, random_state=9, reindex=False)
+    clean = (rows, cols, vals, (40, 16))
+    dirty = (rows_dirty, cols_dirty, vals_dirty, (40, 16))
+    m_clean = PoisMF(**kw).fit(clean)
+    m_dirty = PoisMF(**kw).fit(dirty)
+    np.testing.assert_allclose(m_dirty.A, m_clean.A, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(m_dirty.B, m_clean.B, rtol=1e-5, atol=1e-6)
+
+
+def test_topn_batched_model_api(fitted):
+    model, df = fitted
+    users = df["UserId"].unique()[:6]
+    top = model.topN_batched(users, n=5)
+    assert top.shape == (6, 5)
+    # matches the per-user path
+    for q, u in enumerate(users):
+        np.testing.assert_array_equal(top[q], model.topN(u, n=5))
+    # exclude_seen drops each user's own training items
+    top_unseen, scores = model.topN_batched(users, n=5, exclude_seen=True,
+                                            output_score=True)
+    assert np.all(np.isfinite(scores))
+    seen = df.groupby("UserId")["ItemId"].agg(set)
+    for q, u in enumerate(users):
+        assert not (set(top_unseen[q].tolist()) & seen[u])
+    with pytest.raises(ValueError):
+        model.topN_batched(["not-a-user"], n=3)

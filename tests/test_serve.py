@@ -69,9 +69,12 @@ def test_topn_validation(factors):
         serve.top_n(a, B, n_top=0)
     with pytest.raises(ValueError):
         serve.top_n(a, B, n_top=3, include_ix=np.array([1, 2]))
-    with pytest.raises(ValueError):
-        # exclude more than n - n_top
-        serve.top_n(a, B, n_top=49, exclude_ix=np.arange(5))
+    # excluding more than n - n_top items clips the result, like the
+    # reference's swap-to-tail strategy serves any exclude size
+    # (topN.c:155-169)
+    idx = serve.top_n(a, B, n_top=49, exclude_ix=np.arange(5))
+    assert len(idx) == B.shape[0] - 5
+    assert len(set(idx.tolist()) & set(range(5))) == 0
 
 
 def test_topn_masks_padded_items(factors):
@@ -225,8 +228,14 @@ def test_top_n_validation_errors(rng):
         serve.top_n(a, B, n_top=11)
     with pytest.raises(ValueError):
         serve.top_n(a, B, n_top=3, include_ix=np.array([1, 2]))
-    with pytest.raises(ValueError):  # can't exclude more than n - n_top
-        serve.top_n(a, B, n_top=8, exclude_ix=np.arange(5))
+    # excluding more than n - n_top clips rather than raising
+    idx = serve.top_n(a, B, n_top=8, exclude_ix=np.arange(5))
+    assert len(idx) == 5 and not (set(idx.tolist()) & set(range(5)))
+    # excluding all but a few items still works (topN.c:155-169 semantics)
+    idx = serve.top_n(a, B, n_top=5, exclude_ix=np.arange(7))
+    assert sorted(idx.tolist()) == [7, 8, 9]
+    with pytest.raises(ValueError):  # nothing left to recommend
+        serve.top_n(a, B, n_top=1, exclude_ix=np.arange(10))
     with pytest.raises(ValueError):
         serve.top_n(a, B, n_top=2, include_ix=np.array([1, 2, 3]),
                     exclude_ix=np.array([4]))
