@@ -513,6 +513,80 @@ def _bucket_data_f(b: EllBucket, bg, A_T):
     return -jnp.sum(logt, axis=0)
 
 
+def _bucket_data_f_gtd(b: EllBucket, bg, A_T, bd_b):
+    import jax.numpy as jnp
+
+    mode = _pallas_state()
+    if mode is not None and bg.dtype != jnp.float64:
+        from . import pallas_kernels as pk
+
+        nll, gud = pk.f_gtd_bucket(
+            bg, b.vals.astype(jnp.float32), A_T.astype(jnp.float32),
+            bd_b.astype(jnp.float32), interpret=(mode == "interpret"),
+        )
+        return nll.astype(A_T.dtype), gud.astype(A_T.dtype)
+    pred = jnp.sum(bg * A_T[:, None, :], axis=0)  # [P, R_b]
+    logt = jnp.where(b.vals > 0, b.vals * jnp.log(pred), 0.0)
+    nll = -jnp.sum(logt, axis=0)
+    ratio = jnp.where(
+        b.vals > 0, b.vals * bd_b / jnp.maximum(pred, 1e-12), 0.0
+    )
+    gud = jnp.sum(ratio, axis=0)
+    return nll, gud
+
+
+def bdot_ell(D_perm, planes: Sequence[Any], ell: EllMatrix):
+    """Per-bucket ``<B_col, d_row>`` planes [P, R_b] for a direction D_perm -
+    computed once per line search (see poisson_bdot)."""
+    import jax.numpy as jnp
+
+    out = []
+    for b, bg in zip(ell.buckets, planes):
+        D_T = _bucket_x(D_perm, b).T  # [k, R_b]
+        out.append(jnp.sum(bg * D_T[:, None, :], axis=0))
+    return tuple(out)
+
+
+def f_gtd_ell(
+    A_perm,
+    D_perm,
+    bds,
+    planes: Sequence[Any],
+    ell: EllMatrix,
+    Bsum,
+    l2_reg: float,
+    w_mult: float = 1.0,
+    l2_in_f: bool = True,
+):
+    """Objective and directional derivative ``g(trial) . d`` per row in one
+    plane sweep (ELL twin of objective.poisson_f_gtd)."""
+    import jax.numpy as jnp
+
+    dtype = A_perm.dtype
+    nlls, guds = [], []
+    for b, bg, bd_b in zip(ell.buckets, planes, bds):
+        A_T = _bucket_x(A_perm, b).T
+        nll, gud = _bucket_data_f_gtd(b, bg, A_T, bd_b)
+        nlls.append(nll)
+        guds.append(gud)
+    nll = _assemble(ell, nlls, (), dtype)
+    gud = _assemble(ell, guds, (), dtype)
+    if w_mult != 1.0:
+        nll = w_mult * nll
+        gud = w_mult * gud
+    if Bsum.ndim == 1:
+        lin = A_perm @ Bsum
+        lin_d = D_perm @ Bsum
+    else:
+        lin = jnp.sum(A_perm * Bsum, axis=-1)
+        lin_d = jnp.sum(D_perm * Bsum, axis=-1)
+    if l2_in_f:
+        lin = lin + l2_reg * jnp.sum(A_perm * A_perm, axis=-1)
+    f = lin + nll
+    gtd = lin_d + 2.0 * l2_reg * jnp.sum(A_perm * D_perm, axis=-1) - gud
+    return f, gtd
+
+
 def _bucket_data_hvp(bg, w2, V_T):
     import jax.numpy as jnp
 
@@ -536,8 +610,12 @@ def fgh_ell(
     Bsum,
     l2_reg: float,
     w_mult: float = 1.0,
+    l2_in_f: bool = True,
 ):
     """Fused f / grad / HVP-weights / Hessian-diagonal over all buckets.
+    ``l2_in_f=False`` omits the l2 penalty from f only, matching the
+    reference TNCG objective calc_fun_and_grad (poismf.c:242-273) whose f
+    lacks the penalty its own gradient carries.
 
     ``A_perm``: [n_rows_pad, k] in permuted row order.  ``Bsum`` is [k]
     (shared) or [n_rows_pad, k] (per-row, ALREADY permuted).  Returns
@@ -573,7 +651,9 @@ def fgh_ell(
     else:
         lin = jnp.sum(A_perm * Bsum, axis=-1)
         g_lin = Bsum
-    f = lin + l2_reg * jnp.sum(A_perm * A_perm, axis=-1) + neg_llk
+    if l2_in_f:
+        lin = lin + l2_reg * jnp.sum(A_perm * A_perm, axis=-1)
+    f = lin + neg_llk
     g = g_lin + 2.0 * l2_reg * A_perm + grad_data
     diag = 2.0 * l2_reg + diag_data
     return f, g, tuple(w2s), diag
@@ -586,10 +666,12 @@ def f_ell(
     Bsum,
     l2_reg: float,
     w_mult: float = 1.0,
+    l2_in_f: bool = True,
 ):
     """Objective only (line-search trials).  No eps floor: a non-positive
     prediction at a positive count poisons the row with +inf, matching the
-    reference's Inf-rejected line search (nonnegcg.c:223-226, 308)."""
+    reference's Inf-rejected line search (nonnegcg.c:223-226, 308).
+    ``l2_in_f=False`` matches calc_fun_and_grad's f (see fgh_ell)."""
     import jax.numpy as jnp
 
     dtype = A_perm.dtype
@@ -604,7 +686,9 @@ def f_ell(
         lin = A_perm @ Bsum
     else:
         lin = jnp.sum(A_perm * Bsum, axis=-1)
-    return lin + l2_reg * jnp.sum(A_perm * A_perm, axis=-1) + neg_llk
+    if l2_in_f:
+        lin = lin + l2_reg * jnp.sum(A_perm * A_perm, axis=-1)
+    return lin + neg_llk
 
 
 def fg_ell(

@@ -175,6 +175,89 @@ def poisson_f_data(
     return out
 
 
+def poisson_bdot(
+    D: jnp.ndarray,
+    B: jnp.ndarray,
+    X: CountsMatrix,
+) -> jnp.ndarray:
+    """Per-edge ``<B_col(e), d_row(e)>`` for a search direction D [R_pad, k].
+
+    Computed ONCE per line search; every trial's directional derivative then
+    needs only the trial's own predictions (see :func:`poisson_f_gtd`)."""
+    return sddmm(D, B, X.row_ids, X.col_ids)
+
+
+def poisson_f_gtd(
+    A_trial: jnp.ndarray,
+    D: jnp.ndarray,
+    bd: jnp.ndarray,
+    B: jnp.ndarray,
+    X: CountsMatrix,
+    Bsum: jnp.ndarray,
+    l2_reg: float,
+    w_mult: float = 1.0,
+    nnz_chunk: Optional[int] = None,
+    l2_in_f: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Objective AND directional derivative ``g(trial)._dot(d)`` per row, in
+    one pass over the nnz stream (one SDDMM - the ``B_i . d`` factors ``bd``
+    come precomputed from :func:`poisson_bdot`).
+
+    This is the batched equivalent of the reference line search evaluating
+    its function at a trial point and dotting the returned gradient with the
+    search direction (tnc.c linearSearch:1750-1772).  f keeps the reference's
+    +inf poisoning on non-positive predictions; the derivative uses a floored
+    pred (the poisoned f already rejects those trials)."""
+    R = X.n_rows_pad
+
+    def eval_chunk(row_ids, col_ids, vals, bd_c):
+        pred = sddmm(A_trial, B, row_ids, col_ids)
+        log_term = jnp.where(vals > 0, vals * jnp.log(pred), 0.0)
+        nll = -segment_rowsum(log_term, row_ids, R)
+        ratio = jnp.where(
+            vals > 0, vals * bd_c / jnp.maximum(pred, PRED_EPS), 0.0
+        )
+        gud = segment_rowsum(ratio, row_ids, R)
+        return nll, gud
+
+    chunk = _maybe_chunk(X.nnz_pad, nnz_chunk)
+    if chunk is None:
+        nll, gud = eval_chunk(X.row_ids, X.col_ids, X.vals, bd)
+    else:
+        n_chunks = X.nnz_pad // chunk
+
+        def body(carry, xs):
+            r, c, v, b_ = xs
+            nl, gd = eval_chunk(r, c, v, b_)
+            return (carry[0] + nl, carry[1] + gd), None
+
+        (nll, gud), _ = lax.scan(
+            body,
+            (jnp.zeros((R,), A_trial.dtype), jnp.zeros((R,), A_trial.dtype)),
+            (
+                X.row_ids.reshape(n_chunks, chunk),
+                X.col_ids.reshape(n_chunks, chunk),
+                X.vals.reshape(n_chunks, chunk),
+                bd.reshape(n_chunks, chunk),
+            ),
+        )
+
+    if w_mult != 1.0:
+        nll = w_mult * nll
+        gud = w_mult * gud
+    if Bsum.ndim == 1:
+        lin = A_trial @ Bsum
+        lin_d = D @ Bsum
+    else:
+        lin = jnp.sum(A_trial * Bsum, axis=-1)
+        lin_d = jnp.sum(D * Bsum, axis=-1)
+    if l2_in_f:
+        lin = lin + l2_reg * jnp.sum(A_trial * A_trial, axis=-1)
+    f = lin + nll
+    gtd = lin_d + 2.0 * l2_reg * jnp.sum(A_trial * D, axis=-1) - gud
+    return f, gtd
+
+
 def poisson_fg(
     A: jnp.ndarray,
     B: jnp.ndarray,
@@ -214,11 +297,18 @@ def poisson_f(
     l2_reg: float,
     w_mult: float = 1.0,
     nnz_chunk: Optional[int] = None,
+    l2_in_f: bool = True,
 ) -> jnp.ndarray:
     """Per-row objective only (calc_fun_single, poismf.c:194-208, batched).
 
     Returns +inf for rows whose trial point has a non-positive prediction at a
-    positive count (matching the reference's Inf-poisoned line search)."""
+    positive count (matching the reference's Inf-poisoned line search).
+
+    ``l2_in_f=False`` reproduces the TNCG objective ``calc_fun_and_grad``
+    (poismf.c:242-273), whose function value OMITS the l2 penalty even though
+    its gradient includes ``2*l2*a`` - an asymmetry that weakens the effective
+    regularization of the published tncg results and must be replicated for
+    parity.  The CG path's ``calc_fun_single`` includes the penalty."""
     neg_llk = poisson_f_data(A, B, X, nnz_chunk)
     if w_mult != 1.0:
         neg_llk = w_mult * neg_llk
@@ -226,7 +316,9 @@ def poisson_f(
         lin = A @ Bsum
     else:
         lin = jnp.sum(A * Bsum, axis=-1)
-    return lin + l2_reg * jnp.sum(A * A, axis=-1) + neg_llk
+    if l2_in_f:
+        lin = lin + l2_reg * jnp.sum(A * A, axis=-1)
+    return lin + neg_llk
 
 
 def poisson_fgh(
@@ -237,9 +329,11 @@ def poisson_fgh(
     l2_reg: float,
     w_mult: float = 1.0,
     nnz_chunk: Optional[int] = None,
+    l2_in_f: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fused per-row objective, gradient, HVP edge weights, and Hessian
-    diagonal in ONE pass over the nnz stream.
+    diagonal in ONE pass over the nnz stream.  ``l2_in_f=False`` omits the
+    l2 penalty from f only (calc_fun_and_grad parity - see poisson_f).
 
     Returns ``(f [R], g [R,k], w2 [nnz], diag [R,k])`` — everything the TNCG
     outer iteration needs at a new iterate.  One SDDMM and one gather of
@@ -311,7 +405,9 @@ def poisson_fgh(
     else:
         lin = jnp.sum(A * Bsum, axis=-1)
         g_lin = Bsum
-    f = lin + l2_reg * jnp.sum(A * A, axis=-1) + neg_llk
+    if l2_in_f:
+        lin = lin + l2_reg * jnp.sum(A * A, axis=-1)
+    f = lin + neg_llk
     g = g_lin + 2.0 * l2_reg * A + grad_data
     diag = 2.0 * l2_reg + diag_data
     return f, g, w2, diag

@@ -272,6 +272,65 @@ def f_bucket(bg, vals, a_t, interpret: bool = False):
 
 
 # ---------------------------------------------------------------------------
+# objective + directional derivative (one plane read; the B.d factors come in
+# as a precomputed [P, R] plane, so each line-search trial costs the same
+# plane traffic as the f-only kernel)
+# ---------------------------------------------------------------------------
+
+
+def _f_gtd_kernel(bg_ref, vals_ref, at_ref, bd_ref, nll_ref, gud_ref):
+    pj = pl.program_id(1)
+
+    @pl.when(pj == 0)
+    def _():
+        nll_ref[...] = jnp.zeros_like(nll_ref)
+        gud_ref[...] = jnp.zeros_like(gud_ref)
+
+    bg = _f32(bg_ref[...])
+    a = at_ref[...]
+    vals = vals_ref[...]
+    bd = bd_ref[...]
+    pred = jnp.sum(bg * a[:, None, :], axis=0)
+    logt = jnp.where(vals > 0, vals * jnp.log(pred), 0.0)
+    nll_ref[...] += -jnp.sum(logt, axis=0)[None, :]
+    ratio = jnp.where(vals > 0, vals * bd / jnp.maximum(pred, PRED_EPS), 0.0)
+    gud_ref[...] += jnp.sum(ratio, axis=0)[None, :]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def f_gtd_bucket(bg, vals, a_t, bd, interpret: bool = False):
+    k, P, Rb = bg.shape
+    tp, tr = _tiles(P, Rb, bg.dtype.itemsize)
+    grid = (Rb // tr, P // tp)
+    nll, gud = pl.pallas_call(
+        _f_gtd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((k, tp, tr), lambda ri, pj: (0, pj, ri),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tp, tr), lambda ri, pj: (pj, ri),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, tr), lambda ri, pj: (0, ri),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tp, tr), lambda ri, pj: (pj, ri),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tr), lambda ri, pj: (0, ri),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tr), lambda ri, pj: (0, ri),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, Rb), jnp.float32),
+            jax.ShapeDtypeStruct((1, Rb), jnp.float32),
+        ],
+        interpret=interpret,
+    )(bg, vals, a_t, bd)
+    return nll[0], gud[0]
+
+
+# ---------------------------------------------------------------------------
 # Hessian-vector product (one plane read; bv and the w2-weighted reduction
 # both consume the in-register block)
 # ---------------------------------------------------------------------------

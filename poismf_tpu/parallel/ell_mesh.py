@@ -223,11 +223,13 @@ def _local_update_ell(p: FitParams, se: ShardedEll, plane_dtype,
     if p.method == "pg":
         from ..solvers.pg import pg_update_ell
 
+        # step_size is a [2] vector: [step, div_step] (see parallel/mesh.py)
         x = pg_update_ell(
             x, planes, ell, bsum_in,
             jnp.asarray(p.l2_reg, dtype=x.dtype),
-            step_size.astype(x.dtype),
+            step_size[0].astype(x.dtype),
             w_mult=p.w_mult, maxupd=p.maxupd,
+            div_step=step_size[1].astype(x.dtype),
         )
     elif p.method == "cg":
         from ..solvers.cg import cg_update_ell
@@ -319,19 +321,23 @@ def run_poismf_ell_sharded(
     early = p.early_stop and p.method == "tncg"
     try:
         for epoch in range(p.niter):
-            step = jnp.asarray(step_size, dtype=A.dtype)
+            div_step = step_size
+            steps = jnp.asarray([step_size, div_step], dtype=A.dtype)
             if not converged_B:
                 B_old = B
-                B = sharded_half_update_ell(mesh, p, B, A, si, step)
+                B = sharded_half_update_ell(mesh, p, B, A, si, steps)
                 if early:
                     converged_B = unchanged_share(B_old, B, n_items) >= 0.95
+            if p.method == "pg":
+                # halved between the halves (poismf.c:532); A keeps the
+                # pre-halving step in its proximal divisor (poismf.c:511)
+                step_size *= 0.5
+                steps = jnp.asarray([step_size, div_step], dtype=A.dtype)
             if not converged_A:
                 A_old = A
-                A = sharded_half_update_ell(mesh, p, A, B, su, step)
+                A = sharded_half_update_ell(mesh, p, A, B, su, steps)
                 if early:
                     converged_A = unchanged_share(A_old, A, n_users) >= 0.95
-            if p.method == "pg":
-                step_size *= 0.5
             if callback is not None:
                 callback(epoch, A, B)
             if p.method == "tncg" and converged_A and converged_B:

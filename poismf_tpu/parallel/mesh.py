@@ -172,11 +172,15 @@ def _local_update(p: FitParams, rows_per_shard: int, n_cols: int,
     if p.method == "pg":
         from ..solvers.pg import pg_update
 
+        # step_size is a [2] vector: [step, div_step] (the reference halves
+        # the step between the B and A halves but keeps the proximal divisor
+        # from the pre-halving step, poismf.c:511,532)
         new = pg_update(
             target_loc, fixed, X_loc, bsum_in,
             jnp.asarray(p.l2_reg, dtype=target_loc.dtype),
-            step_size.astype(target_loc.dtype),
+            step_size[0].astype(target_loc.dtype),
             w_mult=p.w_mult, maxupd=p.maxupd, nnz_chunk=p.nnz_chunk,
+            div_step=step_size[1].astype(target_loc.dtype),
         )
     elif p.method == "cg":
         from ..solvers.cg import cg_update
@@ -279,19 +283,23 @@ def run_poismf_sharded(
 
     try:
         for epoch in range(p.niter):
-            step = jnp.asarray(step_size, dtype=A.dtype)
+            div_step = step_size
+            steps = jnp.asarray([step_size, div_step], dtype=A.dtype)
             if not converged_B:
                 B_old = B
-                B = sharded_half_update(mesh, p, B, A, si, n_users, step)
+                B = sharded_half_update(mesh, p, B, A, si, n_users, steps)
                 if p.method == "tncg" and p.early_stop:
                     converged_B = unchanged_share(B_old, B, n_items) >= 0.95
+            if p.method == "pg":
+                # halved between the halves (poismf.c:532); A keeps the
+                # pre-halving step in its proximal divisor (poismf.c:511)
+                step_size *= 0.5
+                steps = jnp.asarray([step_size, div_step], dtype=A.dtype)
             if not converged_A:
                 A_old = A
-                A = sharded_half_update(mesh, p, A, B, su, n_items, step)
+                A = sharded_half_update(mesh, p, A, B, su, n_items, steps)
                 if p.method == "tncg" and p.early_stop:
                     converged_A = unchanged_share(A_old, A, n_users) >= 0.95
-            if p.method == "pg":
-                step_size *= 0.5
             if callback is not None:
                 callback(epoch, A, B)
             if p.method == "tncg" and converged_A and converged_B:

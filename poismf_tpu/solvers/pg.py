@@ -13,11 +13,19 @@ Per step (for each row a with nonzeros (cols, x)):
 with ``step = step_size * w_mult`` and ``Bsum`` per-row when weighted.  Rows
 with no nonzeros are zeroed (poismf.c:166-169).
 
-Note: the reference's A-side update scales ``cnst_sum`` by ``-step`` twice when
-``w_mult == 1`` (poismf.c:573-577) - a sign/scale bug flagged in SURVEY.md
-section 3.1.  We implement the mathematically consistent single scaling, which
-matches the reference's own B-side update and its out-of-sample PG path
-(pred.c:154-161).
+Training step schedule: the reference halves the step BETWEEN the B-half and
+the A-half of each epoch (poismf.c:532), so B steps at s while A steps at
+s/2, and the proximal divisor ``cnst_div = 1/(1+2*l2*s)`` is computed once
+per epoch from the B step (poismf.c:511) - stale for the A half.  The
+drivers in train.py replicate this exactly via ``div_step``.
+
+Note: the reference's A-side update scales ``cnst_sum`` by ``-step`` twice
+when ``w_mult == 1`` (poismf.c:573-577), and its batch out-of-sample path
+scales ``Bsum_w`` by ``-step`` twice when ``w_mult != 1`` (pred.c:126 then
+:160-161) - sign/scale bugs flagged in SURVEY.md section 3.1.  We implement
+the mathematically consistent single scaling in both places, matching the
+reference's own B-side update and its w_mult==1 out-of-sample path
+(pred.c:154-158).
 """
 
 from __future__ import annotations
@@ -49,17 +57,22 @@ def pg_update(
     w_mult: float = 1.0,
     maxupd: int = 10,
     nnz_chunk: Optional[int] = None,
+    div_step: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Run ``maxupd`` batched PG steps updating A (rows of X) with B fixed.
 
     ``Bsum`` is [k] (shared, incl. l1) or [R_pad, k] (weighted per-row).
     ``l2_reg``/``step_size`` are traced scalars (the step halves per epoch,
     poismf.c:532 - keeping it traced avoids a recompile per epoch).
+    ``div_step`` overrides the step used in the proximal divisor (the
+    reference computes it once per epoch from the pre-halving step,
+    poismf.c:511; see module docstring).
     Returns the updated A of shape [R_pad, k].
     """
     R = X.n_rows_pad
     step = step_size * w_mult  # poismf.c:151
-    cnst_div = 1.0 / (1.0 + 2.0 * l2_reg * step_size)  # poismf.c:511
+    ds = step_size if div_step is None else div_step
+    cnst_div = 1.0 / (1.0 + 2.0 * l2_reg * ds)  # poismf.c:511
     if Bsum.ndim == 1:
         step_bsum = step_size * Bsum[None, :]
     else:
@@ -116,10 +129,12 @@ def pg_update_ell(
     *,
     w_mult: float = 1.0,
     maxupd: int = 10,
+    div_step: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """PG steps on the gather-free planar-ELL backend (permuted rows)."""
     step = step_size * w_mult  # poismf.c:151
-    cnst_div = 1.0 / (1.0 + 2.0 * l2_reg * step_size)  # poismf.c:511
+    ds = step_size if div_step is None else div_step
+    cnst_div = 1.0 / (1.0 + 2.0 * l2_reg * ds)  # poismf.c:511
     if Bsum.ndim == 1:
         step_bsum = step_size * Bsum[None, :]
     else:

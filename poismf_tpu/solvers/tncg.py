@@ -63,9 +63,9 @@ from ..ops import ell as ell_ops
 # Constants from the reference call sites (poismf.c:383-391, tnc.c:401-436)
 TNC_FTOL = 1e-4  # explicit at poismf.c:388
 TNC_ETA = 0.25  # CG forcing / line-search eta
-LS_DECR = 0.5
-LS_C1 = 1e-4
-MAX_LS = 12
+LS_RMU = 1e-4  # sufficient-decrease mu (tnc.c linearSearch:1734 rmu)
+LS_EXTRAP = 4.0  # bracket growth factor while no upper bound found
+MAX_LS = 16
 
 
 def _maxcgit(k: int) -> int:
@@ -78,8 +78,9 @@ def _tncg_core(
     has_nnz: jnp.ndarray,
     n_rows: int,
     fgh: Callable,  # x -> (f [R], g [R,k], w2 (opaque pytree), diag [R,k])
-    f_only: Callable,  # x -> f [R]
+    f_gtd: Callable,  # (trial, d, bd) -> (f [R], g(trial).d [R])
     hvp_with: Callable,  # (w2, fixed_mask) -> (V -> HV)
+    bdot: Callable,  # d -> per-edge/plane <B, d> factors (once per LS)
     *,
     maxupd: int,
     max_outer: int,
@@ -123,7 +124,12 @@ def _tncg_core(
         fixed = (x <= 0.0) & (g > 0.0)
         pgrad = jnp.where(fixed, 0.0, g)
         pgnorm = jnp.sqrt(jnp.sum(pgrad * pgrad, axis=1))
-        conv_pg = pgnorm <= pgtol * (1.0 + jnp.abs(f))
+        # |pg| test on the x-scaled gradient, absolute threshold: tnc.c
+        # compares dnrm21(g_scaled) <= pgtol * fscale where g_scaled carries
+        # xscale=(1+|x|) and the fscale factors cancel (tnc.c:700,383-399)
+        pg_scaled = pgrad * (1.0 + jnp.abs(x))
+        pgnorm_sc = jnp.sqrt(jnp.sum(pg_scaled * pg_scaled, axis=1))
+        conv_pg = pgnorm_sc <= pgtol
         active = active & ~conv_pg
 
         inv_diag = 1.0 / jnp.maximum(s["diag"], 1e-12)
@@ -194,12 +200,37 @@ def _tncg_core(
 
         nfeval = s["nfeval"] + cg["hvps"]
 
-        # --- projected Armijo backtracking line search ---
+        # --- derivative-informed line search (tnc.c linearSearch/getptc) ---
+        # Acceptance is getptc-style: sufficient decrease on f (rmu=1e-4,
+        # tnc.c:1734) plus the one-sided curvature condition
+        # g(trial).d >= eta * g(x).d (eta=0.25).  Each trial evaluates f AND
+        # the directional derivative, exactly like the reference's function
+        # calls inside getptc (tnc.c:1750-1772); the <B,d> factors are
+        # hoisted out of the trial loop (one extra plane/SDDMM pass total).
+        # The initial step mirrors initialStep (tnc.c:1371-1382) with the
+        # fmin=0 the reference passes (poismf.c:387): alpha0 = 2f/|g.d| when
+        # f > 0, capped at the distance to the nearest bound along d.
+        dginit = gtd
+        spe = jnp.min(
+            jnp.where(d < 0.0, x / jnp.maximum(-d, 1e-30), jnp.inf), axis=1
+        )
+        a0 = jnp.where(
+            f > 0.0, -2.0 * f / jnp.minimum(dginit, -1e-30),
+            jnp.ones((R,), dtype=dtype),
+        )
+        a0 = jnp.minimum(a0, spe)
+        a0 = jnp.where(jnp.isfinite(a0) & (a0 > 0.0), a0, 1.0)
+        bd = bdot(d)
+
         ls0 = dict(
-            alpha=jnp.ones((R,), dtype=dtype),
+            alpha=a0.astype(dtype),
+            lo=jnp.zeros((R,), dtype=dtype),
+            hi=jnp.full((R,), jnp.inf, dtype=dtype),
             found=jnp.zeros((R,), dtype=bool),
             x_new=x,
             f_new=f,
+            x_best=x,
+            f_best=f,
             searching=active,
             nfeval=nfeval,
             t=jnp.zeros((), dtype=jnp.int32),
@@ -209,36 +240,69 @@ def _tncg_core(
             return (t["t"] < MAX_LS) & jnp.any(t["searching"])
 
         def ls_body(t):
-            trial = jnp.maximum(x + t["alpha"][:, None] * d, 0.0)
-            f_t = f_only(trial)
-            # projected Armijo: decrease vs directional derivative along the
-            # actually-taken (projected) step
-            s_step = trial - x
-            dec = jnp.sum(g * s_step, axis=1)
-            ok = jnp.isfinite(f_t) & (f_t <= f + LS_C1 * dec)
+            alpha = t["alpha"]
+            trial = jnp.maximum(x + alpha[:, None] * d, 0.0)
+            f_t, gu = f_gtd(trial, d, bd)
+            suff = jnp.isfinite(f_t) & (f_t <= f + LS_RMU * alpha * dginit)
+            # strong-Wolfe curvature: |g(trial).d| <= eta |g(x).d| - the
+            # trial brackets getptc's 1-D stationary point rather than
+            # accepting arbitrary overshoot
+            curv_lo = gu >= TNC_ETA * dginit  # not still steeply descending
+            curv_hi = gu <= -TNC_ETA * dginit  # not past the minimum
+            ok = suff & curv_lo & curv_hi
             accept = t["searching"] & ok
             x_new = jnp.where(accept[:, None], trial, t["x_new"])
             f_new = jnp.where(accept, f_t, t["f_new"])
+            # getptc keeps the lowest f seen (its fmin); if the bracket
+            # collapses without a Wolfe point, that best point is returned
+            # as long as it decreased f (tnc.c:1785-1789 via getptc's fmin)
+            better = t["searching"] & jnp.isfinite(f_t) & (f_t < t["f_best"])
+            x_best = jnp.where(better[:, None], trial, t["x_best"])
+            f_best = jnp.where(better, f_t, t["f_best"])
             nfe = t["nfeval"] + t["searching"].astype(jnp.int32)
             searching = t["searching"] & ~ok & (nfe < maxupd)
-            alpha = jnp.where(searching, t["alpha"] * LS_DECR, t["alpha"])
-            return dict(alpha=alpha, found=t["found"] | accept, x_new=x_new,
-                        f_new=f_new, searching=searching, nfeval=nfe,
-                        t=t["t"] + 1)
+            # bracket: no sufficient decrease or overshot the stationary
+            # point -> too far (shrink); decrease but derivative still
+            # steep -> too short (grow / bisect up)
+            hi = jnp.where(searching & (~suff | ~curv_hi), alpha, t["hi"])
+            lo = jnp.where(searching & suff & ~curv_lo & curv_hi, alpha,
+                           t["lo"])
+            has_hi = jnp.isfinite(hi)
+            alpha = jnp.where(
+                searching,
+                jnp.where(has_hi, 0.5 * (lo + hi), alpha * LS_EXTRAP),
+                alpha,
+            )
+            return dict(alpha=alpha, lo=lo, hi=hi, found=t["found"] | accept,
+                        x_new=x_new, f_new=f_new, x_best=x_best,
+                        f_best=f_best, searching=searching,
+                        nfeval=nfe, t=t["t"] + 1)
 
         ls = lax.while_loop(ls_cond, ls_body, ls0)
 
-        moved = ls["found"]
-        x_next = jnp.where(moved[:, None], ls["x_new"], x)
-        f_next = jnp.where(moved, ls["f_new"], f)
+        # Wolfe point if found, else the best simple-decrease point; LSFAIL
+        # only when no trial decreased f at all
+        fallback = active & ~ls["found"] & (ls["f_best"] < f)
+        moved = ls["found"] | fallback
+        x_next = jnp.where(
+            ls["found"][:, None], ls["x_new"],
+            jnp.where(fallback[:, None], ls["x_best"], x),
+        )
+        f_next = jnp.where(
+            ls["found"], ls["f_new"], jnp.where(fallback, ls["f_best"], f)
+        )
 
-        # --- convergence tests (tnc.c:909-929, relative like fscale) ---
+        # --- convergence tests (tnc.c:909-929) ---
+        # ftol is ABSOLUTE: tnc.c tests |difnew| <= ftol * fscale in
+        # f-rescaled units, and the fscale factors cancel out.  Convergence
+        # tests are skipped on iterations where the bound-activity pattern
+        # changed (newcon/remcon guard, tnc.c:906-907) so a row that just
+        # hit or left a constraint keeps iterating on its new face.
         difnew = f - f_next
         step_sq = jnp.sum((x_next - x) ** 2, axis=1)
-        conv_f = moved & (
-            jnp.abs(difnew) <= TNC_FTOL * (1.0 + jnp.abs(f_next))
-        )
-        conv_x = moved & (jnp.sqrt(step_sq) <= xtol)
+        same_face = jnp.all((x_next <= 0.0) == (x <= 0.0), axis=1)
+        conv_f = moved & same_face & (jnp.abs(difnew) <= TNC_FTOL)
+        conv_x = moved & same_face & (jnp.sqrt(step_sq) <= xtol)
         ls_fail = active & ~moved  # LSFAIL -> terminate row
         budget = ls["nfeval"] >= maxupd
 
@@ -322,11 +386,19 @@ def tncg_update(
     if max_outer <= 0:
         max_outer = max(4, maxupd // 3)
 
+    # l2_in_f=False: the reference TNCG objective calc_fun_and_grad omits the
+    # l2 penalty from f while keeping 2*l2*a in g (poismf.c:242-273); the
+    # published tncg results depend on this weaker effective regularization
     def fgh(Acur):
-        return obj.poisson_fgh(Acur, B, X, Bsum, l2_reg, w_mult, nnz_chunk)
+        return obj.poisson_fgh(Acur, B, X, Bsum, l2_reg, w_mult, nnz_chunk,
+                               l2_in_f=False)
 
-    def f_only(Acur):
-        return obj.poisson_f(Acur, B, X, Bsum, l2_reg, w_mult, nnz_chunk)
+    def f_gtd(trial, d, bd):
+        return obj.poisson_f_gtd(trial, d, bd, B, X, Bsum, l2_reg, w_mult,
+                                 nnz_chunk, l2_in_f=False)
+
+    def bdot(d):
+        return obj.poisson_bdot(d, B, X)
 
     def hvp_with(w2):
         def hvp(V):
@@ -342,7 +414,7 @@ def tncg_update(
         x0 = jnp.where(has_nnz[:, None], jnp.full_like(A, 1e-3), 0.0)
 
     x_final, share, out = _tncg_core(
-        x0, has_nnz, X.n_rows, fgh, f_only, hvp_with,
+        x0, has_nnz, X.n_rows, fgh, f_gtd, hvp_with, bdot,
         maxupd=maxupd, max_outer=max_outer, maxcg=maxcg,
         track_unchanged=track_unchanged,
         x_prev_for_unchanged=jnp.where(has_nnz[:, None], A, 0.0),
@@ -400,11 +472,17 @@ def tncg_update_ell(
     if max_outer <= 0:
         max_outer = max(4, maxupd // 3)
 
+    # l2_in_f=False: calc_fun_and_grad parity (see tncg_update above)
     def fgh(Acur):
-        return ell_ops.fgh_ell(Acur, planes, ell, Bsum, l2_reg, w_mult)
+        return ell_ops.fgh_ell(Acur, planes, ell, Bsum, l2_reg, w_mult,
+                               l2_in_f=False)
 
-    def f_only(Acur):
-        return ell_ops.f_ell(Acur, planes, ell, Bsum, l2_reg, w_mult)
+    def f_gtd(trial, d, bd):
+        return ell_ops.f_gtd_ell(trial, d, bd, planes, ell, Bsum, l2_reg,
+                                 w_mult, l2_in_f=False)
+
+    def bdot(d):
+        return ell_ops.bdot_ell(d, planes, ell)
 
     def hvp_with(w2s):
         def hvp(V):
@@ -419,7 +497,7 @@ def tncg_update_ell(
         x0 = jnp.where(has_nnz[:, None], jnp.full_like(A_perm, 1e-3), 0.0)
 
     x_final, share, out = _tncg_core(
-        x0, has_nnz, ell.n_rows, fgh, f_only, hvp_with,
+        x0, has_nnz, ell.n_rows, fgh, f_gtd, hvp_with, bdot,
         maxupd=maxupd, max_outer=max_outer, maxcg=maxcg,
         track_unchanged=track_unchanged,
         x_prev_for_unchanged=jnp.where(has_nnz[:, None], A_perm, 0.0),

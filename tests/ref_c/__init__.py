@@ -1,0 +1,132 @@
+"""Golden-parity harness: compile the ACTUAL reference C implementation
+(/root/reference/src) against a tiny self-contained CBLAS shim and expose
+``run_poismf`` via ctypes, so the TPU rebuild's fit trajectories can be
+checked against the original bit-for-bit C solvers on identical data and
+identical initialization.
+
+The reference sources are compiled in place (read-only) — nothing is copied
+into this repository; only the shim (our code) lives here.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import tempfile
+from typing import Optional
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_REF_SRC = "/root/reference/src"
+_LIB_PATH = os.path.join(tempfile.gettempdir(), "libpoismf_ref.so")
+_SOURCES = ["poismf.c", "nonnegcg.c", "tnc.c", "pred.c", "topN.c"]
+
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    srcs = [os.path.join(_REF_SRC, s) for s in _SOURCES]
+    if not all(os.path.exists(s) for s in srcs):
+        return False
+    cmd = [
+        "gcc", "-O2", "-std=c99", "-fPIC", "-shared",
+        "-o", _LIB_PATH,
+        os.path.join(_HERE, "cblas_shim.c"), *srcs,
+        "-I" + _REF_SRC, "-lm",
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=180)
+        return True
+    except Exception:
+        return False
+
+
+def load() -> Optional[ctypes.CDLL]:
+    """Build (if needed) and load the reference library; None if a toolchain
+    or the reference tree is unavailable (tests skip gracefully)."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_LIB_PATH):
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+
+    dp = ctypes.POINTER(ctypes.c_double)
+    stp = ctypes.POINTER(ctypes.c_size_t)
+    lib.run_poismf.restype = ctypes.c_int
+    lib.run_poismf.argtypes = [
+        dp, dp, stp, stp,            # A, Xr, Xr_indptr, Xr_indices
+        dp, dp, stp, stp,            # B, Xc, Xc_indptr, Xc_indices
+        ctypes.c_size_t, ctypes.c_size_t, ctypes.c_size_t,  # dimA dimB k
+        ctypes.c_double, ctypes.c_double, ctypes.c_double,  # l2 l1 w_mult
+        ctypes.c_double,             # step_size
+        ctypes.c_int,                # method enum: tncg=1 cg=2 pg=3
+        ctypes.c_bool, ctypes.c_size_t, ctypes.c_size_t,  # limit_step numiter maxupd
+        ctypes.c_bool, ctypes.c_bool,  # early_stop reuse_prev
+        ctypes.c_bool, ctypes.c_int,   # handle_interrupt nthreads
+    ]
+    _lib = lib
+    return _lib
+
+
+_METHOD_ENUM = {"tncg": 1, "cg": 2, "pg": 3}
+
+
+def _ptr(a: np.ndarray, ctype):
+    return a.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def run_poismf_reference(
+    A: np.ndarray,
+    B: np.ndarray,
+    csr,
+    csc,
+    *,
+    method: str,
+    l2_reg: float,
+    l1_reg: float = 0.0,
+    w_mult: float = 1.0,
+    step_size: float = 1e-7,
+    limit_step: bool = True,
+    numiter: int = 10,
+    maxupd: int = 750,
+    early_stop: bool = True,
+    reuse_prev: bool = False,
+) -> int:
+    """Run the reference C ``run_poismf`` (poismf.c:435-632) IN PLACE on
+    float64 A [dimA,k], B [dimB,k] with SciPy CSR/CSC data.  Returns the C
+    status code (0 ok / 1 oom / 2 interrupted)."""
+    lib = load()
+    assert lib is not None
+    assert A.dtype == np.float64 and A.flags.c_contiguous
+    assert B.dtype == np.float64 and B.flags.c_contiguous
+    dimA, k = A.shape
+    dimB = B.shape[0]
+
+    Xr = np.ascontiguousarray(csr.data, dtype=np.float64)
+    Xr_indptr = np.ascontiguousarray(csr.indptr, dtype=np.uintp)
+    Xr_indices = np.ascontiguousarray(csr.indices, dtype=np.uintp)
+    Xc = np.ascontiguousarray(csc.data, dtype=np.float64)
+    Xc_indptr = np.ascontiguousarray(csc.indptr, dtype=np.uintp)
+    Xc_indices = np.ascontiguousarray(csc.indices, dtype=np.uintp)
+
+    return lib.run_poismf(
+        _ptr(A, ctypes.c_double), _ptr(Xr, ctypes.c_double),
+        _ptr(Xr_indptr, ctypes.c_size_t), _ptr(Xr_indices, ctypes.c_size_t),
+        _ptr(B, ctypes.c_double), _ptr(Xc, ctypes.c_double),
+        _ptr(Xc_indptr, ctypes.c_size_t), _ptr(Xc_indices, ctypes.c_size_t),
+        dimA, dimB, k,
+        l2_reg, l1_reg, w_mult, step_size,
+        _METHOD_ENUM[method],
+        limit_step, numiter, maxupd,
+        early_stop, reuse_prev,
+        True, 1,
+    )
