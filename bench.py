@@ -1,19 +1,27 @@
-"""Headline benchmark: full TNCG training fit at Last.FM-360K scale.
+"""Headline benchmarks: full training fits at Last.FM-360K scale, one per
+reference configuration (BASELINE.md):
 
-The reference's best-quality configuration (tncg, k=50, niter=10, maxupd=750,
-l2=1e3, reuse_prev=True, float32) takes 5 min 59 s wall (= 359 s) for the
-full 10-epoch fit on Last.FM-360K (358,858 users x 160,112 items, 17.16M
-train nnz) on a ~16-thread CPU host (example/example_poismf_lastfm.ipynb
-cells 17-18; BASELINE.md).
+  pg   : k=10, niter=10, maxupd=1,  l2=1e9  -> baseline   6.17 s wall
+  cg   : k=50, niter=30, maxupd=5,  l2=1e4  -> baseline 236    s wall
+  tncg : k=50, niter=10, maxupd=750, l2=1e3, reuse_prev=True
+                                            -> baseline 359    s wall
 
-We generate a synthetic dataset with the same dimensions, nnz count, and a
-power-law row-popularity profile, compile-warm the solvers, then time the
-full fit (fresh factor init, all 10 alternating epochs, same early-stop
-semantics) on the available accelerator.
+The baselines are the reference's committed notebook outputs on a ~16-thread
+CPU host (example/example_poismf_lastfm.ipynb cells 11-18).  We generate a
+synthetic dataset with the same dimensions, nnz count, and a power-law
+row-popularity profile, compile-warm each solver, then time the full fit
+(fresh factor init, all alternating epochs, same early-stop semantics).
 
-Prints ONE JSON line:
-  {"metric": "tncg_fit_wall_s", "value": <s>, "unit": "s",
-   "vs_baseline": <baseline_s / ours_s>}  (vs_baseline > 1 means faster)
+Prints one JSON line per configuration; the LAST line is the flagship tncg
+row (the driver's headline metric):
+  {"metric": "<cfg>_fit_wall_s", "value": <s>, "unit": "s",
+   "vs_baseline": <baseline_s / ours_s>}   (vs_baseline > 1 means faster)
+
+Flags:
+  --scale=F        shrink users/items/nnz by F (baseline scaled linearly)
+  --configs=a,b    subset of {pg, cg, tncg} (default: all three)
+  --mesh[=N]       run the sharded multi-chip driver over an N-device mesh
+                   (default: all visible devices); single-chip otherwise
 """
 
 from __future__ import annotations
@@ -29,15 +37,19 @@ import numpy as np
 # first-compiles in minutes over the tunneled TPU; repeat runs hit the cache.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
-BASELINE_FIT_S = 359.0  # 5:59 wall, BASELINE.md row 3
-
 N_USERS = 358_858
 N_ITEMS = 160_112
 NNZ_TARGET = 17_164_027
-K = 50
-L2 = 1e3
-MAXUPD = 750
-NITER = 10
+
+# (k, l2, maxupd, niter, reuse_prev, baseline wall seconds)
+CONFIGS = {
+    "pg": dict(k=10, l2=1e9, maxupd=1, niter=10, reuse_prev=False,
+               baseline_s=6.17),
+    "cg": dict(k=50, l2=1e4, maxupd=5, niter=30, reuse_prev=False,
+               baseline_s=236.0),
+    "tncg": dict(k=50, l2=1e3, maxupd=750, niter=10, reuse_prev=True,
+                 baseline_s=359.0),
+}
 
 
 def synth_lastfm_like(rng, n_users=N_USERS, n_items=N_ITEMS,
@@ -60,11 +72,83 @@ def synth_lastfm_like(rng, n_users=N_USERS, n_items=N_ITEMS,
     return rows, cols, vals
 
 
-def main():
+def _plane_dtype():
+    # bf16 plane storage is the production default: halves the dominant HBM
+    # traffic; full-scale LL matches f32 to ~7e-5 relative
+    v = os.environ.get("POISMF_BENCH_PLANES", "bfloat16")
+    return None if v == "float32" else v
+
+
+def run_config(name, by_user, by_item, n_users, n_items, mesh=None,
+               verbose=False):
+    """Warm-compile then time one full fit; returns (fit_s, A, B, params)."""
+    import jax
+
+    from poismf_tpu.train import FitParams, initialize_factors, run_poismf
+
+    cfg = CONFIGS[name]
+    params = FitParams(
+        k=cfg["k"], method=name, l2_reg=cfg["l2"], maxupd=cfg["maxupd"],
+        niter=cfg["niter"], reuse_prev=cfg["reuse_prev"], early_stop=True,
+        plane_dtype=_plane_dtype(),
+    )
+
+    def fresh_fit():
+        nprng = np.random.default_rng(1)
+        A = initialize_factors(
+            n_users, by_user.n_rows_pad, cfg["k"], nprng, np.float32
+        )
+        B = initialize_factors(
+            n_items, by_item.n_rows_pad, cfg["k"], nprng, np.float32
+        )
+        t0 = time.time()
+        marks = [t0]
+
+        def cb(epoch, A_, B_):
+            jax.block_until_ready((A_, B_))
+            marks.append(time.time())
+            print(f"#   [{name}] epoch {epoch}: {marks[-1]-marks[-2]:.1f}s",
+                  file=sys.stderr, flush=True)
+
+        if mesh is not None:
+            from poismf_tpu.parallel.mesh import run_poismf_sharded
+
+            A, B, _ = run_poismf_sharded(
+                A, B, by_user, by_item, params, mesh,
+                callback=cb if verbose else None,
+            )
+        else:
+            A, B, _ = run_poismf(A, B, by_user, by_item, params,
+                                 callback=cb if verbose else None)
+        jax.block_until_ready((A, B))
+        return time.time() - t0, A, B
+
+    warm_s, _, _ = fresh_fit()
+    print(f"# [{name}] warmup fit (incl. compile): {warm_s:.1f}s",
+          file=sys.stderr, flush=True)
+    fit_s, A, B = fresh_fit()
+    print(f"# [{name}] timed fit: {fit_s:.1f}s", file=sys.stderr, flush=True)
+    return fit_s, A, B, params
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
     scale = 1.0
-    for a in sys.argv[1:]:
+    configs = ["pg", "cg", "tncg"]
+    mesh_n = None
+    for a in argv:
         if a.startswith("--scale="):
             scale = float(a.split("=", 1)[1])
+        elif a.startswith("--configs="):
+            configs = [c for c in a.split("=", 1)[1].split(",") if c]
+        elif a == "--mesh":
+            mesh_n = -1
+        elif a.startswith("--mesh="):
+            mesh_n = int(a.split("=", 1)[1])
+    for c in configs:
+        if c not in CONFIGS:
+            raise SystemExit(f"unknown config {c!r}")
+
     n_users = max(int(N_USERS * scale), 64)
     n_items = max(int(N_ITEMS * scale), 64)
     nnz = max(int(NNZ_TARGET * scale), 1024)
@@ -78,74 +162,48 @@ def main():
     import jax
 
     from poismf_tpu.sparse import build_both_orientations
-    from poismf_tpu.train import FitParams, initialize_factors, run_poismf
+
+    mesh = None
+    if mesh_n is not None:
+        from poismf_tpu.parallel.mesh import make_mesh
+
+        devices = jax.devices()
+        if mesh_n > 0:
+            devices = devices[:mesh_n]
+        mesh = make_mesh(devices)
+        print(f"# mesh: {len(devices)} device(s)", file=sys.stderr)
 
     by_user, by_item = build_both_orientations(
         rows, cols, vals, n_users, n_items, dtype=np.float32
     )
     jax.block_until_ready((by_user.vals, by_item.vals))
 
-    params = FitParams(
-        k=K, method="tncg", l2_reg=L2, maxupd=MAXUPD, niter=NITER,
-        reuse_prev=True, early_stop=True,
-        # bf16 plane storage is the production default: halves the dominant
-        # HBM traffic; full-scale LL matches f32 to ~7e-5 relative
-        plane_dtype=(
-            None
-            if os.environ.get("POISMF_BENCH_PLANES") == "float32"
-            else os.environ.get("POISMF_BENCH_PLANES", "bfloat16")
-        ),
-    )
-
-    verbose = os.environ.get("POISMF_BENCH_VERBOSE")
-
-    def fresh_fit():
-        nprng = np.random.default_rng(1)
-        A = initialize_factors(
-            n_users, by_user.n_rows_pad, K, nprng, np.float32
+    verbose = bool(os.environ.get("POISMF_BENCH_VERBOSE"))
+    lines = []
+    for name in configs:
+        fit_s, A, B, params = run_config(
+            name, by_user, by_item, n_users, n_items, mesh=mesh,
+            verbose=verbose,
         )
-        B = initialize_factors(
-            n_items, by_item.n_rows_pad, K, nprng, np.float32
-        )
-        t0 = time.time()
-        marks = [t0]
+        try:
+            from poismf_tpu.ops.objective import eval_llk
 
-        def cb(epoch, A_, B_):
-            jax.block_until_ready((A_, B_))
-            marks.append(time.time())
-            if verbose:
-                print(f"#   epoch {epoch}: {marks[-1]-marks[-2]:.1f}s",
-                      file=sys.stderr, flush=True)
-
-        A, B, _ = run_poismf(A, B, by_user, by_item, params,
-                             callback=cb if verbose else None)
-        jax.block_until_ready((A, B))
-        return time.time() - t0, A, B
-
-    # warmup fit: includes XLA compilation of both half-updates
-    warm_s, _, _ = fresh_fit()
-    print(f"# warmup fit (incl. compile): {warm_s:.1f}s", file=sys.stderr)
-
-    fit_s, A, B = fresh_fit()
-    print(f"# timed fit: {fit_s:.1f}s", file=sys.stderr)
-
-    try:
-        from poismf_tpu.ops.objective import eval_llk
-
-        ll = float(eval_llk(A, B, by_user))
-        sparsity = float(np.mean(np.asarray(A[:n_users]) == 0.0))
-        print(f"# train LL: {ll:.6g}  A-sparsity: {sparsity:.3f}",
-              file=sys.stderr)
-    except Exception as e:  # diagnostics must never eat the JSON line
-        print(f"# diagnostics failed: {e}", file=sys.stderr)
-
-    baseline = BASELINE_FIT_S * scale  # cost scales ~linearly in nnz
-    print(json.dumps({
-        "metric": "tncg_fit_wall_s",
-        "value": round(fit_s, 3),
-        "unit": "s",
-        "vs_baseline": round(baseline / fit_s, 3),
-    }))
+            ll = float(eval_llk(A, B, by_user))
+            spars = float(np.mean(np.asarray(A[:n_users]) == 0.0))
+            print(f"# [{name}] train LL: {ll:.6g}  A-sparsity: {spars:.3f}",
+                  file=sys.stderr)
+        except Exception as e:  # diagnostics must never eat the JSON lines
+            print(f"# [{name}] diagnostics failed: {e}", file=sys.stderr)
+        baseline = CONFIGS[name]["baseline_s"] * scale  # ~linear in nnz
+        lines.append(json.dumps({
+            "metric": f"{name}_fit_wall_s",
+            "value": round(fit_s, 3),
+            "unit": "s",
+            "vs_baseline": round(baseline / fit_s, 3),
+        }))
+    # flagship (tncg) last so a last-line parser picks up the headline row
+    for ln in sorted(lines, key=lambda s: "tncg_fit" in s):
+        print(ln)
 
 
 if __name__ == "__main__":
