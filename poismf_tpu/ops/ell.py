@@ -123,15 +123,26 @@ def _ceil_to(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+# Bucket-count ceiling and padding budget for the merge pass below.  Every
+# bucket instantiates its own kernels in EVERY solver program (fgh, line
+# search, HVP, ...), so bucket count is a direct multiplier on compiled
+# program size — and over a remote-compiler TPU tunnel, on cold-start wall
+# time.  Merging the small tail octaves trades a few % of padded nnz for
+# ~40% smaller programs.
+MAX_BUCKETS = 6
+MERGE_PAD_BUDGET = 0.06  # max extra padded slots from merging, vs unmerged
+
+
 def _plan_buckets(counts_sorted: np.ndarray) -> List[Tuple[int, int, int, int]]:
     """Bucket spans over nnz-descending-sorted rows.
 
     Returns [(start, end, P, ell_offset)] where rows [start, end) of the
     sorted order form a bucket of width P at ELL row offset ``ell_offset``
-    (buckets padded to ROW_TILE rows)."""
+    (buckets padded to ROW_TILE rows).  One span per power-of-two octave,
+    then adjacent spans are greedily merged (cheapest padding increase
+    first) until at most MAX_BUCKETS remain, within MERGE_PAD_BUDGET."""
     n_nonempty = int(np.count_nonzero(counts_sorted))
-    spans: List[Tuple[int, int, int, int]] = []
-    ell_off = 0
+    spans: List[Tuple[int, int, int]] = []  # (start, end, P)
     start = 0
     while start < n_nonempty:
         c = int(counts_sorted[start])
@@ -141,10 +152,37 @@ def _plan_buckets(counts_sorted: np.ndarray) -> List[Tuple[int, int, int, int]]:
             np.searchsorted(-counts_sorted, -(lo_width + 1), side="right")
         )
         end = max(end, start + 1)
-        spans.append((start, end, P, ell_off))
-        ell_off += _ceil_to(end - start, ROW_TILE)
+        spans.append((start, end, P))
         start = end
-    return spans
+
+    def cost(s: int, e: int, P: int) -> int:
+        return _ceil_to(e - s, ROW_TILE) * P
+
+    base = sum(cost(s, e, P) for s, e, P in spans)
+    budget = MERGE_PAD_BUDGET * base
+    added = 0.0
+    while len(spans) > 1:
+        best_i, best_d = -1, None
+        for i in range(len(spans) - 1):
+            (s1, e1, P1), (s2, e2, P2) = spans[i], spans[i + 1]
+            d = cost(s1, e2, P1) - cost(s1, e1, P1) - cost(s2, e2, P2)
+            if best_d is None or d < best_d:
+                best_i, best_d = i, d
+        free = best_d <= 0  # merged tile padding can shrink total
+        over_count = len(spans) > MAX_BUCKETS
+        if not (free or (over_count and added + best_d <= budget)):
+            break
+        s1, e1, P1 = spans[best_i]
+        s2, e2, P2 = spans[best_i + 1]
+        spans[best_i : best_i + 2] = [(s1, e2, P1)]
+        added += max(best_d, 0)
+
+    out: List[Tuple[int, int, int, int]] = []
+    ell_off = 0
+    for s, e, P in spans:
+        out.append((s, e, P, ell_off))
+        ell_off += _ceil_to(e - s, ROW_TILE)
+    return out
 
 
 def build_ell(
@@ -904,13 +942,21 @@ def build_compact(
     src_cs,
     slot_map,
     row_nnz_c,
-    n_primary: int,
+    n_primary: int = 0,
 ) -> Tuple[EllMatrix, Any]:
     """Assemble the compact EllMatrix (device) from host selection indices.
     Edge data is gathered ON DEVICE from the parent buckets — only the small
-    index arrays cross the host-device boundary."""
+    index arrays cross the host-device boundary.
+
+    Traceable (callable under jit with the index arrays as traced operands).
+    The compact matrix's static aux fields are all derived from the PLAN,
+    never from the round's selection — ``n_rows`` in particular is pinned to
+    0 so every cascade round of a given plan shares one compiled program
+    (``n_rows`` only feeds the early-stop share, which compact solves
+    ignore).  ``n_primary`` is accepted for API compatibility and unused."""
     import jax.numpy as jnp
 
+    del n_primary
     buckets = []
     for b, cap, coff, sel, src_c in zip(
         ell.buckets, plan.caps, plan.offsets, sels, src_cs
@@ -930,7 +976,7 @@ def build_compact(
         perm=slot_map_d,  # compact slot -> parent ELL slot (doubles as perm)
         inv_perm=slot_map_d,  # unused by the solver
         row_nnz_perm=jnp.asarray(row_nnz_c),
-        n_rows=n_primary,
+        n_rows=0,
         n_cols=ell.n_cols,
         nnz=ell.nnz,
         n_rows_pad=ell.n_rows_ell,

@@ -115,6 +115,35 @@ def pg_update(
     return jnp.where((X.row_nnz > 0)[:, None], A, 0.0)
 
 
+def _pg_steps_ell(
+    A_perm: jnp.ndarray,
+    planes,
+    ell: ell_ops.EllMatrix,
+    Bsum: jnp.ndarray,
+    l2_reg: jnp.ndarray,
+    step_size: jnp.ndarray,
+    div_step: Optional[jnp.ndarray],
+    maxupd: int,
+    w_mult: float,
+) -> jnp.ndarray:
+    """Shared traced core: ``maxupd`` PG steps on the planar-ELL layout."""
+    step = step_size * w_mult  # poismf.c:151
+    ds = step_size if div_step is None else div_step
+    cnst_div = 1.0 / (1.0 + 2.0 * l2_reg * ds)  # poismf.c:511
+    if Bsum.ndim == 1:
+        step_bsum = step_size * Bsum[None, :]
+    else:
+        step_bsum = step_size * Bsum
+
+    def one_step(_, Acur):
+        gp = ell_ops.pg_grad_ell(Acur, planes, ell)
+        Anew = (Acur + step * gp - step_bsum) * cnst_div
+        return jnp.maximum(Anew, 0.0)
+
+    A_perm = lax.fori_loop(0, maxupd, one_step, A_perm)
+    return jnp.where((ell.row_nnz_perm > 0)[:, None], A_perm, 0.0)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("maxupd", "w_mult"),
@@ -132,18 +161,57 @@ def pg_update_ell(
     div_step: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """PG steps on the gather-free planar-ELL backend (permuted rows)."""
-    step = step_size * w_mult  # poismf.c:151
-    ds = step_size if div_step is None else div_step
-    cnst_div = 1.0 / (1.0 + 2.0 * l2_reg * ds)  # poismf.c:511
-    if Bsum.ndim == 1:
-        step_bsum = step_size * Bsum[None, :]
-    else:
-        step_bsum = step_size * Bsum
+    return _pg_steps_ell(
+        A_perm, planes, ell, Bsum, l2_reg, step_size, div_step, maxupd,
+        w_mult,
+    )
 
-    def one_step(_, Acur):
-        gp = ell_ops.pg_grad_ell(Acur, planes, ell)
-        Anew = (Acur + step * gp - step_bsum) * cnst_div
-        return jnp.maximum(Anew, 0.0)
 
-    A_perm = lax.fori_loop(0, maxupd, one_step, A_perm)
-    return jnp.where((ell.row_nnz_perm > 0)[:, None], A_perm, 0.0)
+@functools.partial(
+    jax.jit,
+    static_argnames=("maxupd", "w_mult", "dtype_name"),
+)
+def pg_epoch_ell(
+    A_perm: jnp.ndarray,
+    B_perm: jnp.ndarray,
+    ell_user: ell_ops.EllMatrix,
+    ell_item: ell_ops.EllMatrix,
+    l2_reg: jnp.ndarray,
+    step_size: jnp.ndarray,
+    l1_reg: jnp.ndarray,
+    *,
+    maxupd: int = 10,
+    w_mult: float = 1.0,
+    dtype_name: Optional[str] = None,
+) -> tuple:
+    """One FULL alternating PG epoch as a single program: B-half (colsums,
+    fixed-side plane gather, ``maxupd`` steps), the between-halves step
+    halving of poismf.c:532, then the A-half with the pre-halving proximal
+    divisor (poismf.c:511).  At the reference's tiny pg config (k=10,
+    maxupd=1) fixed per-dispatch costs dominate the math, so the whole epoch
+    rides one dispatch; ``step_size`` is traced so all epochs share the
+    program.  Returns ``(A_perm, B_perm)``."""
+    # --- B half: optimize items against fixed A ---
+    bsum_a = jnp.sum(A_perm, axis=0) + l1_reg
+    planes_a = ell_ops.gather_planes(A_perm, ell_item, dtype_name)
+    bsum_in = (
+        bsum_a if w_mult == 1.0
+        else ell_ops.adjusted_bsum_ell(planes_a, ell_item, bsum_a, w_mult)
+    )
+    B_new = _pg_steps_ell(
+        B_perm, planes_a, ell_item, bsum_in, l2_reg, step_size, None,
+        maxupd, w_mult,
+    )
+    # --- step halves BETWEEN the halves; A's divisor keeps the old step ---
+    step_a = step_size * 0.5
+    bsum_b = jnp.sum(B_new, axis=0) + l1_reg
+    planes_b = ell_ops.gather_planes(B_new, ell_user, dtype_name)
+    bsum_in_b = (
+        bsum_b if w_mult == 1.0
+        else ell_ops.adjusted_bsum_ell(planes_b, ell_user, bsum_b, w_mult)
+    )
+    A_new = _pg_steps_ell(
+        A_perm, planes_b, ell_user, bsum_in_b, l2_reg, step_a, step_size,
+        maxupd, w_mult,
+    )
+    return A_new, B_new

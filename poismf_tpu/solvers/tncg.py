@@ -83,14 +83,18 @@ def _tncg_core(
     bdot: Callable,  # d -> per-edge/plane <B, d> factors (once per LS)
     *,
     maxupd: int,
-    max_outer: int,
+    max_outer,  # scalar (may be traced): outer-iteration cap
     maxcg: int,
-    track_unchanged: bool,
     x_prev_for_unchanged: Optional[jnp.ndarray],
     true_row_mask: Optional[jnp.ndarray] = None,
     active_mask: Optional[jnp.ndarray] = None,
 ):
-    """Backend-agnostic batched truncated-Newton driver (see module doc)."""
+    """Backend-agnostic batched truncated-Newton driver (see module doc).
+
+    ``max_outer`` may be a traced scalar so different outer-iteration caps
+    (cascade round lengths, final unbounded rounds) share ONE compiled
+    program; the unchanged-rows share is always computed (its cost is one
+    [R, k] diff pass, invisible next to the solve)."""
     R, k = x0.shape
     dtype = x0.dtype
 
@@ -327,19 +331,20 @@ def _tncg_core(
     out = lax.while_loop(cond, body, state0)
     x_final = out["x"]
 
-    if track_unchanged:
-        # >= 95% of TRUE rows moved by <= 1e-4 (squared L2), poismf.c:393-403.
-        # The reference only counts processed rows (nnz > 0) as unchanged and
-        # divides by dimA; mirror that (padding rows excluded entirely).
-        true_row = (
-            jnp.arange(R) < n_rows if true_row_mask is None else true_row_mask
-        )
-        delta = x_final - x_prev_for_unchanged
-        small = (delta * delta).sum(axis=1) <= 1e-4
-        unchanged = jnp.sum(small & has_nnz & true_row)
-        share = unchanged.astype(jnp.float32) / float(max(n_rows, 1))
-    else:
-        share = jnp.zeros((), dtype=jnp.float32)
+    # >= 95% of TRUE rows moved by <= 1e-4 (squared L2), poismf.c:393-403.
+    # The reference only counts processed rows (nnz > 0) as unchanged and
+    # divides by dimA; mirror that (padding rows excluded entirely).
+    true_row = (
+        jnp.arange(R) < n_rows if true_row_mask is None else true_row_mask
+    )
+    delta = x_final - x_prev_for_unchanged
+    small = (delta * delta).sum(axis=1) <= 1e-4
+    unchanged = jnp.sum(small & has_nnz & true_row)
+    # n_rows may be a traced scalar (compact cascade solves reuse one
+    # program across rounds whose true-row count varies)
+    share = unchanged.astype(jnp.float32) / jnp.maximum(
+        jnp.asarray(n_rows, dtype=jnp.float32), 1.0
+    )
     return x_final, share, out
 
 
@@ -348,43 +353,42 @@ def _tncg_core(
 # ---------------------------------------------------------------------------
 
 
+def _effective_max_outer(max_outer: int, maxupd: int) -> int:
+    return max_outer if max_outer > 0 else max(4, maxupd // 3)
+
+
+def _stats_dict(out) -> dict:
+    return dict(
+        outer_iters=out["it"], nfeval=out["nfeval"],
+        still_active=jnp.sum(out["active"]),
+        active=out["active"],
+    )
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=(
-        "maxupd",
-        "w_mult",
-        "reuse_prev",
-        "track_unchanged",
-        "nnz_chunk",
-        "max_outer",
-        "return_stats",
-    ),
+    static_argnames=("maxupd", "w_mult", "nnz_chunk"),
 )
-def tncg_update(
+def _tncg_update_jit(
     A: jnp.ndarray,
     B: jnp.ndarray,
     X: CountsMatrix,
     Bsum: jnp.ndarray,
+    reuse_prev: jnp.ndarray,  # traced bool scalar
+    max_outer: jnp.ndarray,  # traced int32 scalar
     *,
     l2_reg: float,
-    w_mult: float = 1.0,
-    maxupd: int = 750,
-    reuse_prev: bool = False,
-    track_unchanged: bool = False,
-    nnz_chunk: Optional[int] = None,
-    max_outer: int = 0,
-    return_stats: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """One TNCG pass over every row of A (B fixed), flat-COO backend.
-
-    Returns ``(A_new, share_unchanged)`` where ``share_unchanged`` is the
-    fraction of true rows whose squared change is <= 1e-4 (for the
-    early-stop rule; 0.0 when ``track_unchanged`` is False).
-    """
+    w_mult: float,
+    maxupd: int,
+    nnz_chunk: Optional[int],
+):
+    """Jitted COO backend: ``reuse_prev`` and ``max_outer`` are traced
+    scalars so every outer-cap / init combination shares ONE program (the
+    compile-time attack; the reference has no analog — it recompiles
+    nothing, but over the tunneled-TPU remote compiler each program variant
+    costs tens of seconds)."""
     R, k = A.shape
     maxcg = _maxcgit(k)
-    if max_outer <= 0:
-        max_outer = max(4, maxupd // 3)
 
     # l2_in_f=False: the reference TNCG objective calc_fun_and_grad omits the
     # l2 penalty from f while keeping 2*l2*a in g (poismf.c:242-273); the
@@ -407,24 +411,52 @@ def tncg_update(
         return hvp
 
     has_nnz = X.row_nnz > 0
-    if reuse_prev:
-        x0 = jnp.where(has_nnz[:, None], A, 0.0)
-    else:
-        # init to 1e-3 (poismf.c:379-381)
-        x0 = jnp.where(has_nnz[:, None], jnp.full_like(A, 1e-3), 0.0)
+    # init to 1e-3 unless warm-starting (poismf.c:379-381)
+    x0 = jnp.where(
+        has_nnz[:, None],
+        jnp.where(reuse_prev, A, jnp.full_like(A, 1e-3)),
+        0.0,
+    )
 
     x_final, share, out = _tncg_core(
         x0, has_nnz, X.n_rows, fgh, f_gtd, hvp_with, bdot,
         maxupd=maxupd, max_outer=max_outer, maxcg=maxcg,
-        track_unchanged=track_unchanged,
         x_prev_for_unchanged=jnp.where(has_nnz[:, None], A, 0.0),
     )
+    return x_final, share, _stats_dict(out)
+
+
+def tncg_update(
+    A: jnp.ndarray,
+    B: jnp.ndarray,
+    X: CountsMatrix,
+    Bsum: jnp.ndarray,
+    *,
+    l2_reg: float,
+    w_mult: float = 1.0,
+    maxupd: int = 750,
+    reuse_prev: bool = False,
+    track_unchanged: bool = False,
+    nnz_chunk: Optional[int] = None,
+    max_outer: int = 0,
+    return_stats: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One TNCG pass over every row of A (B fixed), flat-COO backend.
+
+    Returns ``(A_new, share_unchanged)`` where ``share_unchanged`` is the
+    fraction of true rows whose squared change is <= 1e-4 (for the
+    early-stop rule).  ``track_unchanged`` is kept for API compatibility
+    (the share is now always computed — it costs one [R, k] diff pass).
+    """
+    del track_unchanged
+    x_final, share, stats = _tncg_update_jit(
+        A, B, X, Bsum,
+        jnp.asarray(bool(reuse_prev)),
+        jnp.asarray(_effective_max_outer(max_outer, maxupd), dtype=jnp.int32),
+        l2_reg=l2_reg, w_mult=w_mult, maxupd=maxupd, nnz_chunk=nnz_chunk,
+    )
     if return_stats:
-        return x_final, share, dict(
-            outer_iters=out["it"], nfeval=out["nfeval"],
-            still_active=jnp.sum(out["active"]),
-            active=out["active"],
-        )
+        return x_final, share, stats
     return x_final, share
 
 
@@ -435,15 +467,63 @@ def tncg_update(
 
 @functools.partial(
     jax.jit,
-    static_argnames=(
-        "maxupd",
-        "w_mult",
-        "reuse_prev",
-        "track_unchanged",
-        "max_outer",
-        "return_stats",
-    ),
+    static_argnames=("maxupd", "w_mult"),
 )
+def _tncg_update_ell_jit(
+    A_perm: jnp.ndarray,
+    planes: Tuple[jnp.ndarray, ...],
+    ell: ell_ops.EllMatrix,
+    Bsum: jnp.ndarray,
+    reuse_prev: jnp.ndarray,  # traced bool scalar
+    max_outer: jnp.ndarray,  # traced int32 scalar
+    active_mask: jnp.ndarray,  # [n_rows_ell] bool (all-True = full solve)
+    *,
+    l2_reg: float,
+    w_mult: float,
+    maxupd: int,
+):
+    """Jitted ELL backend — one compiled program per (ELL shape, maxupd,
+    w_mult): init mode, outer cap and row subset are all traced, so the
+    cascade's round-0 / continuation / final-unbounded calls and every
+    early-stop epoch reuse the same executable (see _tncg_update_jit)."""
+    R, k = A_perm.shape
+    maxcg = _maxcgit(k)
+
+    # l2_in_f=False: calc_fun_and_grad parity (see tncg_update above)
+    def fgh(Acur):
+        return ell_ops.fgh_ell(Acur, planes, ell, Bsum, l2_reg, w_mult,
+                               l2_in_f=False)
+
+    def f_gtd(trial, d, bd):
+        return ell_ops.f_gtd_ell(trial, d, bd, planes, ell, Bsum, l2_reg,
+                                 w_mult, l2_in_f=False)
+
+    def bdot(d):
+        return ell_ops.bdot_ell(d, planes, ell)
+
+    def hvp_with(w2s):
+        def hvp(V):
+            return ell_ops.hvp_ell(V, planes, ell, w2s, l2_reg)
+
+        return hvp
+
+    has_nnz = ell.row_nnz_perm > 0
+    x0 = jnp.where(
+        has_nnz[:, None],
+        jnp.where(reuse_prev, A_perm, jnp.full_like(A_perm, 1e-3)),
+        0.0,
+    )
+
+    x_final, share, out = _tncg_core(
+        x0, has_nnz, ell.n_rows, fgh, f_gtd, hvp_with, bdot,
+        maxupd=maxupd, max_outer=max_outer, maxcg=maxcg,
+        x_prev_for_unchanged=jnp.where(has_nnz[:, None], A_perm, 0.0),
+        true_row_mask=has_nnz,  # ELL slots with nnz are exactly the true rows
+        active_mask=active_mask,
+    )
+    return x_final, share, _stats_dict(out)
+
+
 def tncg_update_ell(
     A_perm: jnp.ndarray,
     planes: Tuple[jnp.ndarray, ...],
@@ -466,48 +546,19 @@ def tncg_update_ell(
     matrix (computed once per half-update).  ``active_mask`` restricts the
     solve to a subset of rows (used to continue a previous partial solve
     without re-activating rows that already terminated).
+    ``track_unchanged`` is kept for API compatibility (the unchanged share
+    is now always computed).
     """
-    R, k = A_perm.shape
-    maxcg = _maxcgit(k)
-    if max_outer <= 0:
-        max_outer = max(4, maxupd // 3)
-
-    # l2_in_f=False: calc_fun_and_grad parity (see tncg_update above)
-    def fgh(Acur):
-        return ell_ops.fgh_ell(Acur, planes, ell, Bsum, l2_reg, w_mult,
-                               l2_in_f=False)
-
-    def f_gtd(trial, d, bd):
-        return ell_ops.f_gtd_ell(trial, d, bd, planes, ell, Bsum, l2_reg,
-                                 w_mult, l2_in_f=False)
-
-    def bdot(d):
-        return ell_ops.bdot_ell(d, planes, ell)
-
-    def hvp_with(w2s):
-        def hvp(V):
-            return ell_ops.hvp_ell(V, planes, ell, w2s, l2_reg)
-
-        return hvp
-
-    has_nnz = ell.row_nnz_perm > 0
-    if reuse_prev:
-        x0 = jnp.where(has_nnz[:, None], A_perm, 0.0)
-    else:
-        x0 = jnp.where(has_nnz[:, None], jnp.full_like(A_perm, 1e-3), 0.0)
-
-    x_final, share, out = _tncg_core(
-        x0, has_nnz, ell.n_rows, fgh, f_gtd, hvp_with, bdot,
-        maxupd=maxupd, max_outer=max_outer, maxcg=maxcg,
-        track_unchanged=track_unchanged,
-        x_prev_for_unchanged=jnp.where(has_nnz[:, None], A_perm, 0.0),
-        true_row_mask=has_nnz,  # ELL slots with nnz are exactly the true rows
-        active_mask=active_mask,
+    del track_unchanged
+    if active_mask is None:
+        active_mask = jnp.ones((A_perm.shape[0],), dtype=bool)
+    x_final, share, stats = _tncg_update_ell_jit(
+        A_perm, planes, ell, Bsum,
+        jnp.asarray(bool(reuse_prev)),
+        jnp.asarray(_effective_max_outer(max_outer, maxupd), dtype=jnp.int32),
+        active_mask,
+        l2_reg=l2_reg, w_mult=w_mult, maxupd=maxupd,
     )
     if return_stats:
-        return x_final, share, dict(
-            outer_iters=out["it"], nfeval=out["nfeval"],
-            still_active=jnp.sum(out["active"]),
-            active=out["active"],
-        )
+        return x_final, share, stats
     return x_final, share

@@ -21,6 +21,7 @@ Semantics carried over (with citations):
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable, Optional, Tuple
 
 import numpy as np
@@ -32,6 +33,92 @@ from .ops import objective as obj
 from .solvers.pg import pg_update
 
 METHODS = ("tncg", "cg", "pg")
+
+
+# The cascade round is deliberately THREE separate programs (build/solve/
+# scatter) rather than one: fusing the compaction gathers, the solver
+# while_loop and the write-back scatter into a single XLA program makes its
+# optimization passes explore the cross-boundary space and compile 4-6x
+# slower (measured: 58-80 s fused vs 8 + 13 + 2 s split, full scale over the
+# TPU tunnel), for zero runtime benefit — the solver loop dominates and the
+# extra dispatches cost microseconds.
+
+
+@functools.partial(jax.jit, static_argnames=("plan", "dtype_name"))
+def _compact_build(
+    x_full: jnp.ndarray,
+    fixed_p: jnp.ndarray,
+    ell,
+    bsum_in: jnp.ndarray,
+    sels,
+    src_cs,
+    slot_map,
+    row_nnz_c,
+    *,
+    plan,
+    dtype_name: Optional[str],
+):
+    """Device-side compaction for one cascade round: gather the selected
+    rows' edges, the fixed side's planes, the current iterates and (when
+    weighted) the per-row Bsum into the compact layout.  Compiles once per
+    (parent ELL, plan) — the round's selection is a traced operand."""
+    from .ops import ell as ell_ops
+
+    compact, slot_map_d = ell_ops.build_compact(
+        ell, plan, sels, src_cs, slot_map, row_nnz_c
+    )
+    planes_c = ell_ops.gather_planes(fixed_p, compact, dtype_name)
+    bsum_c = (
+        bsum_in if bsum_in.ndim == 1
+        else jnp.take(bsum_in, slot_map_d, axis=0)
+    )
+    x_c = jnp.take(x_full, slot_map_d, axis=0)
+    return compact, planes_c, x_c, bsum_c
+
+
+@jax.jit
+def _compact_scatter(x_full, x_new, slot_map_d, row_nnz_c_d):
+    from .ops import ell as ell_ops
+
+    return ell_ops.scatter_back(x_full, x_new, slot_map_d, row_nnz_c_d)
+
+
+def _compact_round(
+    x_full: jnp.ndarray,
+    fixed_p: jnp.ndarray,
+    ell,
+    bsum_in: jnp.ndarray,
+    sels,
+    src_cs,
+    slot_map,
+    row_nnz_c,
+    l2_reg,
+    max_outer,
+    *,
+    plan,
+    dtype_name: Optional[str],
+    maxupd: int,
+    w_mult: float,
+):
+    """One cascade round on a compact sub-ELL (see the note above on why
+    this is three dispatches).  Round length and selection are traced, so
+    every round of a given plan reuses the same three executables."""
+    from .solvers.tncg import _tncg_update_ell_jit
+
+    compact, planes_c, x_c, bsum_c = _compact_build(
+        x_full, fixed_p, ell, bsum_in, sels, src_cs, slot_map, row_nnz_c,
+        plan=plan, dtype_name=dtype_name,
+    )
+    x_new, _, stats = _tncg_update_ell_jit(
+        x_c, planes_c, compact, bsum_c,
+        jnp.asarray(True),  # compact rounds always continue from x
+        max_outer,
+        jnp.ones((x_c.shape[0],), dtype=bool),
+        l2_reg=l2_reg, w_mult=w_mult, maxupd=maxupd,
+    )
+    x_out = _compact_scatter(x_full, x_new, compact.perm,
+                             compact.row_nnz_perm)
+    return x_out, stats["active"]
 
 
 @dataclasses.dataclass
@@ -253,26 +340,16 @@ def _run_poismf_ell(
     if p.plane_dtype is not None:
         plane_dtype = jnp.dtype(p.plane_dtype)
 
-    def half(target_p, fixed_p, ell, early_stop, step, div_step=None):
+    def half(target_p, fixed_p, ell, early_stop, step):
         # colsums over the full padded matrix are exact: padding/empty rows
         # are identically zero (poismf.c:512-514 + l1 shift)
+        # (pg never reaches here on this layout: its whole epoch is the
+        # fused single-program pg_epoch_ell)
         Bsum = jnp.sum(fixed_p, axis=0) + p.l1_reg
         planes = ell_ops.gather_planes(fixed_p, ell, plane_dtype)
         bsum_in = Bsum
         if p.w_mult != 1.0:
             bsum_in = ell_ops.adjusted_bsum_ell(planes, ell, Bsum, p.w_mult)
-        if p.method == "pg":
-            from .solvers.pg import pg_update_ell
-
-            new = pg_update_ell(
-                target_p, planes, ell, bsum_in,
-                jnp.asarray(p.l2_reg, dtype=target_p.dtype),
-                jnp.asarray(step, dtype=target_p.dtype),
-                w_mult=p.w_mult, maxupd=p.maxupd,
-                div_step=(None if div_step is None
-                          else jnp.asarray(div_step, dtype=target_p.dtype)),
-            )
-            return new, False
         if p.method == "cg":
             from .solvers.cg import cg_update_ell
 
@@ -298,14 +375,15 @@ def _run_poismf_ell(
         # the smallest structure (full batch / 1/2 / 1/4 / 1/16 capacity)
         # that fits the shrinking still-active tail (ops/ell.py).  The
         # batched stand-in for the reference's per-row adaptive iteration
-        # counts: converged rows stop costing HBM bandwidth.
-        solver_kw = dict(
-            l2_reg=p.l2_reg, w_mult=p.w_mult, maxupd=p.maxupd,
-            track_unchanged=False,
-        )
+        # counts: converged rows stop costing HBM bandwidth.  Every round of
+        # a given structure shares one compiled program (round length, init
+        # mode and active set are traced operands of _compact_round /
+        # tncg_update_ell).
+        solver_kw = dict(l2_reg=p.l2_reg, w_mult=p.w_mult, maxupd=p.maxupd)
         MAX_ROUNDS = 8
         ROUND_ITERS = 4
         round0_iters = 3
+        unbounded = max(4, p.maxupd // 3)  # the solver's own default cap
         x = target_p
         active = None  # None = all rows (first round)
         for rnd in range(MAX_ROUNDS):
@@ -323,53 +401,37 @@ def _run_poismf_ell(
                 # finish in one unbounded solve
                 if plan is aux["plans"][0]:
                     last = True
-                compact, slot_map = ell_ops.build_compact(ell, plan, *sel)
-                planes_c = ell_ops.gather_planes(
-                    fixed_p, compact, plane_dtype
+                sels, src_cs, slot_map, row_nnz_c, _ = sel
+                x, act_c = _compact_round(
+                    x, fixed_p, ell, bsum_in,
+                    tuple(sels), tuple(src_cs), slot_map, row_nnz_c,
+                    p.l2_reg,
+                    jnp.asarray(unbounded if last else ROUND_ITERS,
+                                dtype=jnp.int32),
+                    plan=plan,
+                    dtype_name=(None if plane_dtype is None
+                                else str(np.dtype(plane_dtype))),
+                    maxupd=p.maxupd, w_mult=p.w_mult,
                 )
-                bsum_c = (
-                    bsum_in if bsum_in.ndim == 1
-                    else jnp.take(bsum_in, slot_map, axis=0)
-                )
-                x_c = jnp.take(x, slot_map, axis=0)
                 if last:
-                    x_c, _ = tncg_update_ell(
-                        x_c, planes_c, compact, bsum_c,
-                        reuse_prev=True, **solver_kw,
-                    )
                     act_next = None
                 else:
-                    x_c, _, st = tncg_update_ell(
-                        x_c, planes_c, compact, bsum_c,
-                        reuse_prev=True, max_outer=ROUND_ITERS,
-                        return_stats=True, **solver_kw,
-                    )
-                    act_c = np.asarray(st["active"])
+                    act_c = np.asarray(act_c)
                     sm = np.asarray(slot_map)
                     act_next = np.zeros(ell.n_rows_ell, dtype=bool)
                     live = act_c & (sm != ell.n_rows_ell - 1)
                     act_next[sm[live]] = True
-                x = ell_ops.scatter_back(
-                    x, x_c, slot_map, compact.row_nnz_perm
-                )
             else:
                 mask = None if active is None else jnp.asarray(active)
-                if last:
-                    x, _ = tncg_update_ell(
-                        x, planes, ell, bsum_in,
-                        reuse_prev=(p.reuse_prev if rnd == 0 else True),
-                        active_mask=mask, **solver_kw,
-                    )
-                    act_next = None
-                else:
-                    x, _, st = tncg_update_ell(
-                        x, planes, ell, bsum_in,
-                        reuse_prev=(p.reuse_prev if rnd == 0 else True),
-                        max_outer=(round0_iters if rnd == 0
-                                   else ROUND_ITERS),
-                        return_stats=True, active_mask=mask, **solver_kw,
-                    )
-                    act_next = np.asarray(st["active"])
+                x, _, st = tncg_update_ell(
+                    x, planes, ell, bsum_in,
+                    reuse_prev=(p.reuse_prev if rnd == 0 else True),
+                    max_outer=(unbounded if last
+                               else (round0_iters if rnd == 0
+                                     else ROUND_ITERS)),
+                    return_stats=True, active_mask=mask, **solver_kw,
+                )
+                act_next = None if last else np.asarray(st["active"])
             if act_next is None or not act_next.any():
                 break
             active = act_next
@@ -387,16 +449,30 @@ def _run_poismf_ell(
     early = p.early_stop and p.method == "tncg"
     try:
         for epoch in range(p.niter):
-            div_step = step_size
-            if not converged_B:
-                B_p, converged_B = half(B_p, A_p, ell_item, early, step_size)
             if p.method == "pg":
-                # halved between the halves (poismf.c:532); A's proximal
-                # divisor keeps the pre-halving step (poismf.c:511)
+                # whole epoch (both halves, incl. the between-halves step
+                # halving of poismf.c:532) rides ONE dispatch
+                from .solvers.pg import pg_epoch_ell
+
+                A_p, B_p = pg_epoch_ell(
+                    A_p, B_p, ell_user, ell_item,
+                    jnp.asarray(p.l2_reg, dtype=A_p.dtype),
+                    jnp.asarray(step_size, dtype=A_p.dtype),
+                    jnp.asarray(p.l1_reg, dtype=A_p.dtype),
+                    maxupd=p.maxupd, w_mult=p.w_mult,
+                    dtype_name=(None if plane_dtype is None
+                                else str(np.dtype(plane_dtype))),
+                )
                 step_size *= 0.5
-            if not converged_A:
-                A_p, converged_A = half(A_p, B_p, ell_user, early, step_size,
-                                        div_step=div_step)
+            else:
+                if not converged_B:
+                    B_p, converged_B = half(
+                        B_p, A_p, ell_item, early, step_size
+                    )
+                if not converged_A:
+                    A_p, converged_A = half(
+                        A_p, B_p, ell_user, early, step_size
+                    )
             if callback is not None:
                 callback(epoch,
                          ell_ops.permute_rows(A_p, ell_user.inv_perm),
@@ -424,10 +500,13 @@ _ELL_CACHE: dict = {}
 _ELL_AUX: dict = {}
 
 
-# compact capacity levels, tried smallest-first: a ~2% steady-state tail
-# solves at 1/16 of the full per-pass cost, a mid-epoch 10-25% tail at 1/4,
-# and early-epoch 25-50% tails still halve their continuation cost
-COMPACT_DENOMS = (16, 4, 2)
+# Compact capacity levels, tried smallest-first.  ONE level (1/8) is the
+# sweet spot on the tunneled TPU: each extra level costs two more compiled
+# program sets (~25 s of cold start each) to save fractions of a second of
+# mid-epoch tail time — tails above 1/8 capacity continue on the full
+# structure under the active mask (already compiled), tails below it solve
+# at 1/8 of the per-pass cost.
+COMPACT_DENOMS = (8,)
 
 
 def _make_aux(ell):
