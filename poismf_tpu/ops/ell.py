@@ -195,6 +195,7 @@ def build_ell(
     dtype=np.float32,
     to_device: bool = True,
     col_positions: Optional[np.ndarray] = None,
+    rows_sorted: bool = False,
 ) -> EllMatrix:
     """Build the bucketed planar-ELL layout from COO triplets.
 
@@ -230,8 +231,15 @@ def build_ell(
     primary_of_v = v_offsets[orig_of_v]
 
     # CSR-style slot within each original row for every nonzero
-    sort_idx = np.argsort(rows, kind="stable")
-    r_sorted = rows[sort_idx]
+    if rows_sorted:
+        r_sorted = rows
+        cols_s = cols
+        vals_s = vals
+    else:
+        sort_idx = np.argsort(rows, kind="stable")
+        r_sorted = rows[sort_idx]
+        cols_s = cols[sort_idx]
+        vals_s = vals[sort_idx]
     starts = np.zeros(n_rows + 1, dtype=np.int64)
     np.cumsum(counts, out=starts[1:])
     slot = np.arange(nnz, dtype=np.int64) - starts[r_sorted]
@@ -263,17 +271,33 @@ def build_ell(
     inv_perm[orig_of_v[is_primary]] = ell_of_v[is_primary]
     row_nnz_perm[ell_of_v[is_primary]] = counts[orig_of_v[is_primary]]
 
+    # single vectorized scatter of every edge into flat per-bucket storage
+    # (one O(nnz) pass instead of an O(nnz) boolean scan per bucket)
     pos_e = pos_of_v[vrow_e]  # sorted position of each edge's virtual row
+    span_starts = np.array([s for s, _e, _P, _o in spans], dtype=np.int64)
+    span_P = np.array([P for _s, _e, P, _o in spans], dtype=np.int64)
+    span_Rb = np.array(
+        [_ceil_to(e - s, ROW_TILE) for s, e, _P, _o in spans], dtype=np.int64
+    )
+    flat_off = np.zeros(len(spans) + 1, dtype=np.int64)
+    np.cumsum(span_Rb * span_P, out=flat_off[1:])
+    b_e = np.searchsorted(span_starts, pos_e, side="right") - 1
+    dest = (
+        flat_off[b_e]
+        + (pos_e - span_starts[b_e]) * span_P[b_e]
+        + vslot_e
+    )
+    flat_cols = np.zeros(int(flat_off[-1]), dtype=np.int32)
+    flat_vals = np.zeros(int(flat_off[-1]), dtype=dtype)
+    flat_cols[dest] = cols_s
+    flat_vals[dest] = vals_s
+
     buckets: List[EllBucket] = []
-    for s, e, P, off in spans:
-        Rb = _ceil_to(e - s, ROW_TILE)
-        bcols = np.zeros((Rb, P), dtype=np.int32)
-        bvals = np.zeros((Rb, P), dtype=dtype)
-        sel = (pos_e >= s) & (pos_e < e)
-        rr = pos_e[sel] - s
-        ss = vslot_e[sel]
-        bcols[rr, ss] = cols[sort_idx[sel]].astype(np.int32)
-        bvals[rr, ss] = vals[sort_idx[sel]]
+    for i, (s, e, P, off) in enumerate(spans):
+        Rb = int(span_Rb[i])
+        sl = slice(int(flat_off[i]), int(flat_off[i + 1]))
+        bcols = flat_cols[sl].reshape(Rb, P)
+        bvals = flat_vals[sl].reshape(Rb, P)
         all_primary = bool(np.all(is_primary[order[s:e]]))
         if all_primary:
             src = None
@@ -287,6 +311,7 @@ def build_ell(
             )
         )
 
+    host_src = [b.src for b in buckets]
     if to_device:
         import jax.numpy as jnp
 
@@ -306,7 +331,7 @@ def build_ell(
         inv_perm_d = inv_perm.astype(np.int32)
         row_nnz_d = row_nnz_perm
 
-    return EllMatrix(
+    ell = EllMatrix(
         buckets=tuple(buckets),
         perm=perm_d,
         inv_perm=inv_perm_d,
@@ -317,6 +342,15 @@ def build_ell(
         n_rows_pad=n_rows_pad,
         n_rows_ell=n_rows_ell,
     )
+    # Host copies of the cascade-planning metadata (train._make_aux).  A
+    # device->host pull right after queueing the bucket uploads stalls for
+    # MINUTES over the 25 MB/s tunnel (the read waits behind every queued
+    # transfer); keeping the numpy originals makes it free.  Not part of the
+    # pytree — absent on matrices reconstructed from traced leaves.
+    object.__setattr__(
+        ell, "host_aux", dict(row_nnz_perm=row_nnz_perm, src=host_src)
+    )
+    return ell
 
 
 def row_positions(
@@ -353,14 +387,28 @@ def row_positions(
     return pos
 
 
+def _host_triplets(X):
+    """Host (rows, cols, vals) of a CountsMatrix without padding — from the
+    cached host copies when present (sparse.build_counts attaches them; a
+    device pull over the tunnel costs ~10 s at Last.FM scale otherwise)."""
+    host = getattr(X, "host_triplets", None)
+    if host is not None:
+        r, c, v = host
+        return r[: X.nnz], c[: X.nnz], v[: X.nnz]
+    return (
+        np.asarray(X.row_ids[: X.nnz]),
+        np.asarray(X.col_ids[: X.nnz]),
+        np.asarray(X.vals[: X.nnz]),
+    )
+
+
 def ell_from_counts(X, dtype=None, col_positions=None) -> EllMatrix:
     """Build from a flat-COO :class:`~poismf_tpu.sparse.CountsMatrix`."""
-    rows = np.asarray(X.row_ids[: X.nnz])
-    cols = np.asarray(X.col_ids[: X.nnz])
-    vals = np.asarray(X.vals[: X.nnz])
+    rows, cols, vals = _host_triplets(X)
     return build_ell(
         rows, cols, vals, X.n_rows, X.n_cols, X.n_rows_pad,
         dtype=dtype or vals.dtype, col_positions=col_positions,
+        rows_sorted=True,  # CountsMatrix invariant (sparse.py docstring)
     )
 
 
@@ -369,12 +417,10 @@ def ell_pair_from_counts(by_user, by_item, dtype=None):
     the by-user ELL's columns index the by-item permuted order and vice
     versa, so A and B stay in permuted order for the whole fit."""
     pos_u = row_positions(
-        np.asarray(by_user.row_ids[: by_user.nnz]),
-        by_user.n_rows, by_user.n_rows_pad,
+        _host_triplets(by_user)[0], by_user.n_rows, by_user.n_rows_pad,
     )
     pos_i = row_positions(
-        np.asarray(by_item.row_ids[: by_item.nnz]),
-        by_item.n_rows, by_item.n_rows_pad,
+        _host_triplets(by_item)[0], by_item.n_rows, by_item.n_rows_pad,
     )
     ell_user = ell_from_counts(by_user, dtype=dtype, col_positions=pos_i)
     ell_item = ell_from_counts(by_item, dtype=dtype, col_positions=pos_u)

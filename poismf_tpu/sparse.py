@@ -172,6 +172,7 @@ def build_counts(
     row_nnz = np.zeros(n_rows_pad, dtype=np.int32)
     row_nnz[:n_rows] = counts
 
+    host = (row_ids, col_ids, data)
     if to_device:
         import jax.numpy as jnp
 
@@ -180,7 +181,7 @@ def build_counts(
         data = jnp.asarray(data)
         row_nnz = jnp.asarray(row_nnz)
 
-    return CountsMatrix(
+    cm = CountsMatrix(
         row_ids=row_ids,
         col_ids=col_ids,
         vals=data,
@@ -189,6 +190,12 @@ def build_counts(
         n_cols=n_cols,
         nnz=nnz,
     )
+    # keep the host triplets alongside the device copies: layout builders
+    # (ops.ell) do O(nnz) host work and would otherwise pull the arrays back
+    # over the (25 MB/s) tunnel.  Not part of the pytree — a CountsMatrix
+    # reconstructed from traced leaves simply lacks the attribute.
+    object.__setattr__(cm, "host_triplets", host)
+    return cm
 
 
 def build_both_orientations(

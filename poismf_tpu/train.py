@@ -343,13 +343,13 @@ def _run_poismf_ell(
     def half(target_p, fixed_p, ell, early_stop, step):
         # colsums over the full padded matrix are exact: padding/empty rows
         # are identically zero (poismf.c:512-514 + l1 shift)
-        # (pg never reaches here on this layout: its whole epoch is the
-        # fused single-program pg_epoch_ell)
         Bsum = jnp.sum(fixed_p, axis=0) + p.l1_reg
         planes = ell_ops.gather_planes(fixed_p, ell, plane_dtype)
         bsum_in = Bsum
         if p.w_mult != 1.0:
             bsum_in = ell_ops.adjusted_bsum_ell(planes, ell, Bsum, p.w_mult)
+        # (pg never reaches here on this layout: its whole epoch is the
+        # fused single-program pg_epoch_ell)
         if p.method == "cg":
             from .solvers.cg import cg_update_ell
 
@@ -500,25 +500,29 @@ _ELL_CACHE: dict = {}
 _ELL_AUX: dict = {}
 
 
-# Compact capacity levels, tried smallest-first.  ONE level (1/8) is the
-# sweet spot on the tunneled TPU: each extra level costs two more compiled
-# program sets (~25 s of cold start each) to save fractions of a second of
-# mid-epoch tail time — tails above 1/8 capacity continue on the full
-# structure under the active mask (already compiled), tails below it solve
-# at 1/8 of the per-pass cost.
-COMPACT_DENOMS = (8,)
+# Compact capacity levels, tried smallest-first.  Two levels measured best
+# under the tunnel's compile-cost model (head-to-head at full scale:
+# (16,4) timed 68.6 s vs (8,) 71.6 s vs (16,4,2) +1 program set for <1 s):
+# steady-state ~2% tails solve at 1/16 of the full per-pass cost, mid-epoch
+# 10-25% tails at 1/4, and larger tails continue on the full structure
+# under the active mask (already compiled, no extra program).
+COMPACT_DENOMS = (16, 4)
 
 
 def _make_aux(ell):
     from .ops import ell as ell_ops
 
+    # use the builder's host copies — pulling these back off the device
+    # stalls behind every queued upload on the tunneled TPU (see build_ell)
+    ha = getattr(ell, "host_aux", None)
     return dict(
         plans=[ell_ops.plan_compact(ell, d) for d in COMPACT_DENOMS],
-        row_nnz=np.asarray(ell.row_nnz_perm),
-        src=[
+        row_nnz=(ha["row_nnz_perm"] if ha is not None
+                 else np.asarray(ell.row_nnz_perm)),
+        src=(list(ha["src"]) if ha is not None else [
             None if b.src is None else np.asarray(b.src)
             for b in ell.buckets
-        ],
+        ]),
     )
 
 
@@ -533,6 +537,12 @@ def ell_pair_cached(by_user: CountsMatrix, by_item: CountsMatrix):
     entry = _ELL_CACHE.get(key)
     if entry is None:
         hit = ell_ops.ell_pair_from_counts(by_user, by_item)
+        # Drain the bucket uploads before any compute is dispatched: over
+        # the tunneled TPU, letting solver requests queue behind hundreds
+        # of MB of in-flight host->device transfers has produced
+        # lost-wakeup hangs in the remote client; the barrier costs
+        # nothing (the first solver pass needs the data anyway).
+        jax.block_until_ready(jax.tree_util.tree_leaves(hit))
         _ELL_CACHE.clear()  # keep at most one pair alive
         _ELL_AUX.clear()
         # pin the keyed arrays alongside the ELL pair (see comment above)

@@ -32,7 +32,7 @@ def _build() -> bool:
     if not all(os.path.exists(s) for s in srcs):
         return False
     cmd = [
-        "gcc", "-O2", "-std=c99", "-fPIC", "-shared",
+        "gcc", "-O2", "-std=c99", "-fPIC", "-shared", "-fopenmp",
         "-o", _LIB_PATH,
         os.path.join(_HERE, "cblas_shim.c"), *srcs,
         "-I" + _REF_SRC, "-lm",
@@ -61,6 +61,14 @@ def load() -> Optional[ctypes.CDLL]:
 
     dp = ctypes.POINTER(ctypes.c_double)
     stp = ctypes.POINTER(ctypes.c_size_t)
+    lib.topN.restype = ctypes.c_int
+    lib.topN.argtypes = [
+        dp, dp, ctypes.c_int,        # a_vec, B, k
+        stp, ctypes.c_size_t,        # include_ix, n_include
+        stp, ctypes.c_size_t,        # exclude_ix, n_exclude
+        stp, dp,                     # outp_ix, outp_score
+        ctypes.c_size_t, ctypes.c_size_t, ctypes.c_int,  # n_top, n, nthreads
+    ]
     lib.run_poismf.restype = ctypes.c_int
     lib.run_poismf.argtypes = [
         dp, dp, stp, stp,            # A, Xr, Xr_indptr, Xr_indices
