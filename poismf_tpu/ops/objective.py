@@ -30,6 +30,7 @@ memory-bandwidth knob for very large datasets.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -576,63 +577,102 @@ def eval_llk(
     ``-pred`` term extends over ALL user-item pairs, computed in O((m+n)k) via
     ``<colsum(A), colsum(B)>`` instead of materializing A @ B^T.
 
-    ``nnz_chunk`` bounds the [chunk, k] gather intermediates (auto-chunks
-    above ~4M nonzeros so large evaluations don't exhaust HBM)."""
-    if nnz_chunk is None and X.nnz_pad > 4 * 1024 * 1024:
-        nnz_chunk = 1024 * 1024
-    chunk = None
-    row_ids, col_ids, vals_all = X.row_ids, X.col_ids, X.vals
-    if nnz_chunk is not None and nnz_chunk < X.nnz_pad:
-        chunk = int(nnz_chunk)
-        pad = (-X.nnz_pad) % chunk
-        if pad:
-            # padding entries: val 0 (masked), col 0, row clamped by sddmm
-            row_ids = jnp.concatenate(
-                [row_ids, jnp.full((pad,), X.n_rows_pad, row_ids.dtype)]
-            )
-            col_ids = jnp.concatenate(
-                [col_ids, jnp.zeros((pad,), col_ids.dtype)]
-            )
-            vals_all = jnp.concatenate(
-                [vals_all, jnp.zeros((pad,), vals_all.dtype)]
-            )
-
-    def eval_chunk(row_ids, col_ids, vals):
-        pred = sddmm(A, B, row_ids, col_ids)
-        safe = jnp.maximum(pred, PRED_EPS)
-        valid = vals > 0
-        if include_missing:
-            ll = jnp.sum(jnp.where(valid, vals * jnp.log(safe), 0.0))
-        else:
-            ll = jnp.sum(
-                jnp.where(valid, vals * jnp.log(safe) - pred, 0.0)
-            )
-        if full_llk:
-            ll = ll - jnp.sum(
-                jnp.where(valid, lax.lgamma(vals + 1.0), 0.0)
-            )
-        return ll
-
-    if chunk is None:
-        ll = eval_chunk(row_ids, col_ids, vals_all)
-    else:
-        n_chunks = row_ids.shape[0] // chunk
-
-        def body(carry, xs):
-            r, c, v = xs
-            return carry + eval_chunk(r, c, v), None
-
-        ll, _ = lax.scan(
-            body,
-            jnp.zeros((), dtype=A.dtype),
-            (
-                row_ids.reshape(n_chunks, chunk),
-                col_ids.reshape(n_chunks, chunk),
-                vals_all.reshape(n_chunks, chunk),
-            ),
+    ``nnz_chunk`` bounds the [chunk, k] gather intermediates.  Auto-chunking
+    triggers when the gathered intermediates approach HBM capacity; the
+    chunk loop runs on the HOST over ONE small jitted program (a lax.scan
+    formulation costs minutes of remote compile on the tunneled TPU for
+    zero benefit — 17 extra dispatches are microseconds)."""
+    k = int(A.shape[1])
+    if nnz_chunk is None and X.nnz_pad * k * 4 > 1024**3:
+        nnz_chunk = max((256 * 1024**2) // (k * 4), 1024)
+    if nnz_chunk is None or nnz_chunk >= X.nnz_pad:
+        return _eval_llk_jit(
+            A, B, X.row_ids, X.col_ids, X.vals,
+            full_llk=full_llk, include_missing=include_missing,
+            n_rows=X.n_rows, n_cols=X.n_cols,
         )
+    chunk = int(nnz_chunk)
+    nnz_pad = X.nnz_pad
+    starts = list(range(0, nnz_pad - chunk + 1, chunk))
+    if starts[-1] + chunk < nnz_pad:
+        starts.append(nnz_pad - chunk)  # overlap; new entries masked below
+    ll = jnp.zeros((), dtype=A.dtype)
+    prev_end = 0
+    for s in starts:
+        ll = _eval_llk_chunk_jit(
+            A, B, X.row_ids, X.col_ids, X.vals, ll,
+            jnp.asarray(s, dtype=jnp.int32),
+            jnp.asarray(prev_end, dtype=jnp.int32),
+            chunk=chunk, full_llk=full_llk,
+            include_missing=include_missing,
+        )
+        prev_end = s + chunk
     if include_missing:
         ll = ll - jnp.dot(
             jnp.sum(A[: X.n_rows], axis=0), jnp.sum(B[: X.n_cols], axis=0)
+        )
+    return ll
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("chunk", "full_llk", "include_missing"),
+)
+def _eval_llk_chunk_jit(
+    A, B, row_ids, col_ids, vals, carry, start, from_idx,
+    *, chunk: int, full_llk: bool, include_missing: bool,
+):
+    """One LL chunk accumulated into ``carry``; entries whose global index
+    precedes ``from_idx`` are masked (the final chunk overlaps the previous
+    one when the chunk size does not divide nnz_pad)."""
+    r = lax.dynamic_slice_in_dim(row_ids, start, chunk)
+    c = lax.dynamic_slice_in_dim(col_ids, start, chunk)
+    v = lax.dynamic_slice_in_dim(vals, start, chunk)
+    fresh = (start + jnp.arange(chunk, dtype=jnp.int32)) >= from_idx
+    v = jnp.where(fresh, v, 0.0)
+    pred = sddmm(A, B, r, c)
+    safe = jnp.maximum(pred, PRED_EPS)
+    valid = v > 0
+    if include_missing:
+        ll = jnp.sum(jnp.where(valid, v * jnp.log(safe), 0.0))
+    else:
+        ll = jnp.sum(jnp.where(valid, v * jnp.log(safe) - pred, 0.0))
+    if full_llk:
+        ll = ll - jnp.sum(jnp.where(valid, lax.lgamma(v + 1.0), 0.0))
+    return carry + ll
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("full_llk", "include_missing", "n_rows", "n_cols"),
+)
+def _eval_llk_jit(
+    A: jnp.ndarray,
+    B: jnp.ndarray,
+    row_ids,
+    col_ids,
+    vals_all,
+    *,
+    full_llk: bool,
+    include_missing: bool,
+    n_rows: int,
+    n_cols: int,
+) -> jnp.ndarray:
+    """Single-sweep evaluation (small problems): one program, one dispatch."""
+    pred = sddmm(A, B, row_ids, col_ids)
+    safe = jnp.maximum(pred, PRED_EPS)
+    valid = vals_all > 0
+    if include_missing:
+        ll = jnp.sum(jnp.where(valid, vals_all * jnp.log(safe), 0.0))
+        ll = ll - jnp.dot(
+            jnp.sum(A[:n_rows], axis=0), jnp.sum(B[:n_cols], axis=0)
+        )
+    else:
+        ll = jnp.sum(
+            jnp.where(valid, vals_all * jnp.log(safe) - pred, 0.0)
+        )
+    if full_llk:
+        ll = ll - jnp.sum(
+            jnp.where(valid, lax.lgamma(vals_all + 1.0), 0.0)
         )
     return ll

@@ -181,3 +181,25 @@ def test_build_both_orientations(rng):
     # row_ids sorted
     ri = np.asarray(by_row.row_ids)
     assert np.all(np.diff(ri) >= 0)
+
+
+def test_eval_llk_chunked_matches_single_sweep(rng):
+    """The host-side chunk loop (incl. the overlapping final chunk when the
+    chunk size does not divide nnz_pad) must match the one-sweep program."""
+    from tests.conftest import synth_counts
+
+    rows, cols, vals = synth_counts(rng, n_users=200, n_items=90,
+                                    density=0.15)
+    bu, _ = build_both_orientations(rows, cols, vals, 200, 90)
+    r = np.random.default_rng(3)
+    A = jnp.asarray(r.uniform(0.1, 0.5, (bu.n_rows_pad, 6)).astype(np.float32))
+    B = jnp.asarray(r.uniform(0.1, 0.5, (94, 6)).astype(np.float32))
+    for miss in (False, True):
+        one = float(obj.eval_llk(A, B, bu, include_missing=miss))
+        # 1000 does not divide the padded nnz -> exercises the overlap mask
+        ovl = float(obj.eval_llk(A, B, bu, include_missing=miss,
+                                 nnz_chunk=1000))
+        even = float(obj.eval_llk(A, B, bu, include_missing=miss,
+                                  nnz_chunk=1024))
+        assert abs(one - ovl) <= 1e-3 * abs(one)
+        assert abs(one - even) <= 1e-3 * abs(one)
