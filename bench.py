@@ -232,6 +232,13 @@ def main(argv=None):
     if mesh_n is not None:
         from poismf_tpu.parallel.mesh import make_mesh
 
+        if mesh_n > 0 and len(jax.devices()) < mesh_n:
+            # same fallback as the driver dry-run: a virtual CPU platform
+            # with mesh_n devices (validates the sharded program without a
+            # multi-chip slice)
+            from __graft_entry__ import _force_virtual_cpu_mesh
+
+            _force_virtual_cpu_mesh(mesh_n)
         devices = jax.devices()
         if mesh_n > 0:
             devices = devices[:mesh_n]

@@ -914,6 +914,42 @@ def plan_compact(ell: EllMatrix, denom: int = 8) -> CompactPlan:
     )
 
 
+def plan_compact_from_profile(
+    ell: EllMatrix,
+    per_bucket_active,
+    margin: float = 1.5,
+    max_slot_frac: float = 0.6,
+) -> Optional[CompactPlan]:
+    """A compact plan sized from an OBSERVED per-bucket active-row profile
+    (uniform-denominator plans reject tails whose stragglers cluster in one
+    bucket — typically the long-row heads, which converge slowest).  Caps
+    are ``margin`` times the observed counts, tile-rounded and clamped to
+    the bucket size.  Returns None when the plan would cost more than
+    ``max_slot_frac`` of the full structure's slots (not worth another
+    compiled program)."""
+    caps = []
+    offsets = []
+    off = 0
+    cost = 0
+    full_cost = 0
+    for b, c in zip(ell.buckets, per_bucket_active):
+        cap = min(
+            b.n_rows,
+            _ceil_to(max(int(margin * int(c)), ROW_TILE), ROW_TILE),
+        )
+        offsets.append(off)
+        caps.append(cap)
+        off += cap
+        cost += cap * b.P
+        full_cost += b.n_rows * b.P
+    if cost >= max_slot_frac * full_cost:
+        return None
+    return CompactPlan(
+        caps=tuple(caps), offsets=tuple(offsets),
+        n_slots=off + ROW_TILE, denom=0,  # 0 marks a profile-derived plan
+    )
+
+
 def select_active(
     ell: EllMatrix,
     plan: CompactPlan,

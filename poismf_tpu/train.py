@@ -384,6 +384,8 @@ def _run_poismf_ell(
         ROUND_ITERS = 4
         round0_iters = 3
         unbounded = max(4, p.maxupd // 3)  # the solver's own default cap
+        log = _cascade_logger(ell)
+        _maybe_build_adaptive_plan(ell, aux)
         x = target_p
         active = None  # None = all rows (first round)
         for rnd in range(MAX_ROUNDS):
@@ -396,6 +398,10 @@ def _run_poismf_ell(
                     )
                     if sel is not None:
                         break
+                if sel is None:
+                    # rejected tail: record its per-bucket shape so the next
+                    # half-update can build a right-sized adaptive plan
+                    _update_profile(ell, aux, active)
             if sel is not None:
                 # a tail that fits the smallest capacity is cheap enough to
                 # finish in one unbounded solve
@@ -421,6 +427,7 @@ def _run_poismf_ell(
                     act_next = np.zeros(ell.n_rows_ell, dtype=bool)
                     live = act_c & (sm != ell.n_rows_ell - 1)
                     act_next[sm[live]] = True
+                log(rnd, f"compact/{plan.denom}", last, active, act_next)
             else:
                 mask = None if active is None else jnp.asarray(active)
                 x, _, st = tncg_update_ell(
@@ -432,6 +439,7 @@ def _run_poismf_ell(
                     return_stats=True, active_mask=mask, **solver_kw,
                 )
                 act_next = None if last else np.asarray(st["active"])
+                log(rnd, "full", last, active, act_next)
             if act_next is None or not act_next.any():
                 break
             active = act_next
@@ -507,6 +515,96 @@ _ELL_AUX: dict = {}
 # 10-25% tails at 1/4, and larger tails continue on the full structure
 # under the active mask (already compiled, no extra program).
 COMPACT_DENOMS = (16, 4)
+
+
+def _cascade_logger(ell):
+    """POISMF_CASCADE_LOG=1: one stderr line per cascade round with wall
+    time, structure and the active-row counts — the cheap observability for
+    tuning ROUND_ITERS / capacity levels (all inputs are already host-side,
+    so logging adds no device round-trips)."""
+    import os as _os
+
+    if not _os.environ.get("POISMF_CASCADE_LOG"):
+        return lambda *a: None
+    import sys as _sys
+    import time as _time
+
+    t_last = [_time.time()]
+    n = ell.n_rows_ell
+
+    detail = _os.environ.get("POISMF_CASCADE_LOG") == "2"
+
+    def log(rnd, structure, last, active, act_next):
+        now = _time.time()
+        n_in = n if active is None else int(np.count_nonzero(active))
+        n_out = 0 if act_next is None else int(np.count_nonzero(act_next))
+        extra = ""
+        if detail and act_next is not None:
+            srcs = getattr(ell, "host_aux", {}).get("src", [None] * len(ell.buckets))
+            per = [
+                int(np.count_nonzero(
+                    act_next[src]  # long-row chunks follow their primary
+                    if src is not None
+                    else act_next[b.offset : b.offset + b.n_rows]
+                ))
+                for b, src in zip(ell.buckets, srcs)
+            ]
+            extra = "  per-bucket " + " ".join(
+                f"P{b.P}:{c}/{b.n_rows}"
+                for b, c in zip(ell.buckets, per)
+            )
+        print(
+            f"#   cascade[{ell.n_rows}r] rnd {rnd} {structure:>10} "
+            f"{'final ' if last else ''}{n_in} -> {n_out} active "
+            f"({now - t_last[0]:.2f}s){extra}",
+            file=_sys.stderr, flush=True,
+        )
+        t_last[0] = now
+
+    return log
+
+
+def _bucket_active_counts(ell, aux, active):
+    """Per-bucket count of active rows (host): long-row extension chunks
+    follow their primary slot's activity via the host src copies."""
+    return np.array([
+        int(np.count_nonzero(
+            active[src] if src is not None
+            else active[b.offset : b.offset + b.n_rows]
+        ))
+        for b, src in zip(ell.buckets, aux["src"])
+    ])
+
+
+def _update_profile(ell, aux, active):
+    counts = _bucket_active_counts(ell, aux, np.asarray(active))
+    prof = aux.get("profile")
+    aux["profile"] = counts if prof is None else np.maximum(prof, counts)
+
+
+def _maybe_build_adaptive_plan(ell, aux):
+    """After a half-update whose tail the uniform-denominator plans rejected
+    (per-bucket overflow — typically the slow-converging long-row heads),
+    add ONE plan sized 1.5x the observed rejection profile.  Costs a single
+    extra compiled program set per orientation; turns the rejected rounds
+    (full-structure cost each) into fractional-cost compact rounds."""
+    import os as _os
+
+    from .ops import ell as ell_ops
+
+    if _os.environ.get("POISMF_ADAPTIVE_PLAN") == "0":
+        return
+    if aux.get("adaptive_built") or aux.get("profile") is None:
+        return
+    aux["adaptive_built"] = True
+    plan = ell_ops.plan_compact_from_profile(ell, aux["profile"])
+    if plan is None:
+        return
+    plans = list(aux["plans"]) + [plan]
+    plans.sort(key=lambda pl: sum(
+        c * b.P for c, b in zip(pl.caps, ell.buckets)
+    ))
+    aux["plans"] = plans
 
 
 def _make_aux(ell):
