@@ -30,6 +30,7 @@ import jax.numpy as jnp
 
 from .sparse import CountsMatrix
 from .ops import objective as obj
+from .utils.transfer import fetch_host
 from .solvers.pg import pg_update
 
 METHODS = ("tncg", "cg", "pg")
@@ -250,7 +251,9 @@ def _half_update(
             track_unchanged=early_stop,
             nnz_chunk=p.nnz_chunk,
         )
-        converged = bool(share_unchanged >= 0.95) if early_stop else False
+        converged = (
+            bool(fetch_host(share_unchanged) >= 0.95) if early_stop else False
+        )
         return new, converged
     raise ValueError(p.method)
 
@@ -368,7 +371,9 @@ def _run_poismf_ell(
                 l2_reg=p.l2_reg, w_mult=p.w_mult, maxupd=p.maxupd,
                 reuse_prev=p.reuse_prev, track_unchanged=early_stop,
             )
-            converged = bool(share >= 0.95) if early_stop else False
+            converged = (
+                bool(fetch_host(share) >= 0.95) if early_stop else False
+            )
             return new, converged
 
         # --- annealing cascade: run a few outer iterations, then re-select
@@ -422,7 +427,7 @@ def _run_poismf_ell(
                 if last:
                     act_next = None
                 else:
-                    act_c = np.asarray(act_c)
+                    act_c = fetch_host(act_c)
                     sm = np.asarray(slot_map)
                     act_next = np.zeros(ell.n_rows_ell, dtype=bool)
                     live = act_c & (sm != ell.n_rows_ell - 1)
@@ -438,7 +443,7 @@ def _run_poismf_ell(
                                      else ROUND_ITERS)),
                     return_stats=True, active_mask=mask, **solver_kw,
                 )
-                act_next = None if last else np.asarray(st["active"])
+                act_next = None if last else fetch_host(st["active"])
                 log(rnd, "full", last, active, act_next)
             if act_next is None or not act_next.any():
                 break
@@ -450,7 +455,10 @@ def _run_poismf_ell(
             before = jnp.where(has[:, None], target_p, 0.0)
             delta = new - before
             small = jnp.sum(delta * delta, axis=1) <= 1e-4
-            share = float(jnp.sum(small & has)) / max(ell.n_rows, 1)
+            share = (
+                float(fetch_host(jnp.sum(small & has)))
+                / max(ell.n_rows, 1)
+            )
             converged = share >= 0.95
         return new, converged
 
@@ -577,16 +585,27 @@ def _bucket_active_counts(ell, aux, active):
 
 
 def _update_profile(ell, aux, active):
-    counts = _bucket_active_counts(ell, aux, np.asarray(active))
+    active = np.asarray(active)
+    # only tails we would WANT compacted shape the plan: early-epoch
+    # rejections with half the rows active would blow the caps up to
+    # nearly the full structure
+    if int(np.count_nonzero(active)) > ell.n_rows_ell // 4:
+        return
+    counts = _bucket_active_counts(ell, aux, active)
     prof = aux.get("profile")
     aux["profile"] = counts if prof is None else np.maximum(prof, counts)
 
 
+MAX_ADAPTIVE_REBUILDS = 3
+
+
 def _maybe_build_adaptive_plan(ell, aux):
-    """After a half-update whose tail the uniform-denominator plans rejected
+    """After half-updates whose tails the uniform-denominator plans rejected
     (per-bucket overflow — typically the slow-converging long-row heads),
-    add ONE plan sized 1.5x the observed rejection profile.  Costs a single
-    extra compiled program set per orientation; turns the rejected rounds
+    add a plan sized 1.5x the observed rejection profile.  The profile
+    keeps growing as later epochs reject differently-shaped tails, so the
+    plan is REBUILT (bounded times) when outgrown; each build costs one
+    extra compiled program set per orientation and turns rejected rounds
     (full-structure cost each) into fractional-cost compact rounds."""
     import os as _os
 
@@ -594,13 +613,20 @@ def _maybe_build_adaptive_plan(ell, aux):
 
     if _os.environ.get("POISMF_ADAPTIVE_PLAN") == "0":
         return
-    if aux.get("adaptive_built") or aux.get("profile") is None:
+    prof = aux.get("profile")
+    if prof is None:
         return
-    aux["adaptive_built"] = True
-    plan = ell_ops.plan_compact_from_profile(ell, aux["profile"])
+    caps = aux.get("adaptive_caps")
+    if caps is not None and np.all(prof <= caps):
+        return  # current plan still covers every rejected tail seen
+    if aux.get("adaptive_rebuilds", 0) >= MAX_ADAPTIVE_REBUILDS:
+        return
+    plan = ell_ops.plan_compact_from_profile(ell, prof)
     if plan is None:
         return
-    plans = list(aux["plans"]) + [plan]
+    aux["adaptive_rebuilds"] = aux.get("adaptive_rebuilds", 0) + 1
+    aux["adaptive_caps"] = np.asarray(plan.caps)
+    plans = [pl for pl in aux["plans"] if pl.denom != 0] + [plan]
     plans.sort(key=lambda pl: sum(
         c * b.P for c, b in zip(pl.caps, ell.buckets)
     ))

@@ -64,7 +64,7 @@ def test_program_count_is_bounded(rng):
     s0, b0, sc0 = _sizes()
     _fit(bu, bi, seed=3)
     s1, b1, sc1 = _sizes()
-    n_levels = len(train.COMPACT_DENOMS) + 1  # + adaptive
+    n_levels = len(train.COMPACT_DENOMS) + train.MAX_ADAPTIVE_REBUILDS
     assert s1 - s0 <= 2 + 2 * n_levels  # full + per-level compact solves
     assert b1 - b0 <= 2 * n_levels
     assert sc1 - sc0 <= 2 * n_levels
