@@ -1,0 +1,110 @@
+"""Profile-adaptive compact plans and the stalled-read retry helper."""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from tests.conftest import synth_counts
+from poismf_tpu.sparse import build_both_orientations
+from poismf_tpu import train
+from poismf_tpu.ops import ell as ell_ops
+from poismf_tpu.utils import transfer
+
+
+def test_plan_from_profile_caps_and_gate(rng):
+    rows, cols, vals = synth_counts(rng, n_users=300, n_items=100,
+                                    density=0.1)
+    bu, _ = build_both_orientations(rows, cols, vals, 300, 100)
+    ell = ell_ops.ell_from_counts(bu)
+    nb = len(ell.buckets)
+
+    # small profile -> caps are tile-rounded 1.5x counts, clamped to bucket
+    prof = np.full(nb, 10)
+    plan = ell_ops.plan_compact_from_profile(ell, prof)
+    assert plan is not None and plan.denom == 0
+    for b, cap in zip(ell.buckets, plan.caps):
+        assert cap == min(b.n_rows, ell_ops._ceil_to(
+            max(15, ell_ops.ROW_TILE), ell_ops.ROW_TILE))
+
+    # near-full profile -> plan not worth a compile
+    prof_full = np.array([b.n_rows for b in ell.buckets])
+    assert ell_ops.plan_compact_from_profile(ell, prof_full) is None
+
+
+def test_adaptive_plan_fit_matches_uniform(rng, monkeypatch):
+    """Force constant rejections (absurdly small uniform caps): the fit must
+    build an adaptive plan and still converge to the same quality as with
+    adaptivity disabled."""
+    # large enough that per-bucket tails exceed the 128-row tile minimum
+    # (smaller problems never overflow any plan's caps)
+    rows, cols, vals = synth_counts(rng, n_users=2500, n_items=150,
+                                    density=0.06)
+    bu, bi = build_both_orientations(rows, cols, vals, 2500, 150)
+    r = np.random.default_rng(1)
+    k = 6
+    A0 = train.initialize_factors(2500, bu.n_rows_pad, k, r, np.float32)
+    B0 = train.initialize_factors(150, bi.n_rows_pad, k, r, np.float32)
+    p = train.FitParams(k=k, method="tncg", niter=4, l2_reg=10.0,
+                        maxupd=150)
+
+    from poismf_tpu.ops import objective as obj
+
+    monkeypatch.setattr(train, "COMPACT_DENOMS", (1024,))
+    monkeypatch.setenv("POISMF_ADAPTIVE_PLAN", "0")
+    train._ELL_CACHE.clear()
+    train._ELL_AUX.clear()
+    A1, B1, _ = train.run_poismf(A0, B0, bu, bi, p)
+    ll_plain = float(obj.eval_llk(A1, B1, bu))
+
+    monkeypatch.setenv("POISMF_ADAPTIVE_PLAN", "1")
+    train._ELL_CACHE.clear()
+    train._ELL_AUX.clear()
+    A2, B2, _ = train.run_poismf(A0, B0, bu, bi, p)
+    ll_adapt = float(obj.eval_llk(A2, B2, bu))
+
+    # some ell should have gained an adaptive (denom=0) plan
+    assert any(
+        any(pl.denom == 0 for pl in aux["plans"])
+        for aux in train._ELL_AUX.values()
+    )
+    assert abs(ll_plain - ll_adapt) / abs(ll_plain) < 5e-2
+    train._ELL_CACHE.clear()
+    train._ELL_AUX.clear()
+
+
+class _StallingOnce:
+    """numpy-conversion target whose FIRST conversion hangs, later ones
+    return — the shape of the tunnel's lost-read failure."""
+
+    def __init__(self):
+        self.calls = 0
+        self.lock = threading.Lock()
+        self.release = threading.Event()
+
+    def __array__(self, dtype=None, copy=None):
+        with self.lock:
+            self.calls += 1
+            first = self.calls == 1
+        if first:
+            self.release.wait(30.0)  # "lost" until the test ends
+        return np.arange(4, dtype=np.float32)
+
+
+def test_fetch_host_races_a_stalled_read(monkeypatch):
+    monkeypatch.setattr(transfer, "FIRST_TIMEOUT_S", 0.2)
+    monkeypatch.setattr(transfer, "RETRY_TIMEOUT_S", 5.0)
+    staller = _StallingOnce()
+    t0 = time.time()
+    out = transfer.fetch_host(staller)
+    took = time.time() - t0
+    staller.release.set()
+    np.testing.assert_array_equal(out, np.arange(4, dtype=np.float32))
+    assert took < 5.0  # the retry, not the stalled first read, returned
+    assert staller.calls >= 2
+
+
+def test_fetch_host_fast_path():
+    out = transfer.fetch_host(np.ones(3))
+    np.testing.assert_array_equal(out, np.ones(3))
