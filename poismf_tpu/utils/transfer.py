@@ -20,10 +20,13 @@ from typing import Any
 
 import numpy as np
 
-# First attempt gets this long before a retry is raced against it.
-FIRST_TIMEOUT_S = float(os.environ.get("POISMF_FETCH_TIMEOUT", "15"))
-RETRY_TIMEOUT_S = 45.0
-MAX_RETRIES = 3
+# First attempt gets this long before a retry is raced against it.  Healthy
+# reads of the small arrays this guards land in well under a second even
+# over the tunnel; 3 s also catches the transport's degraded mode where
+# every read crawls at 5-15 s without fully hanging.
+FIRST_TIMEOUT_S = float(os.environ.get("POISMF_FETCH_TIMEOUT", "3"))
+RETRY_TIMEOUT_S = 20.0
+MAX_RETRIES = 4
 
 
 def fetch_host(arr) -> np.ndarray:
