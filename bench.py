@@ -218,6 +218,16 @@ def main(argv=None):
     n_items = max(int(N_ITEMS * scale), 64)
     nnz = max(int(NNZ_TARGET * scale), 1024)
 
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "")
+    try:
+        n_cached = len(os.listdir(cache_dir)) if cache_dir else 0
+    except OSError:
+        n_cached = 0
+    print(f"# compile cache: {'WARM' if n_cached else 'COLD'} "
+          f"({n_cached} entries in {cache_dir or '<none>'}) — warmup-fit "
+          f"times include XLA compilation only when COLD",
+          file=sys.stderr)
+
     rng = np.random.default_rng(1)
     t0 = time.time()
     rows, cols, vals = synth_lastfm_like(rng, n_users, n_items, nnz)
