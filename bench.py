@@ -236,6 +236,11 @@ def main(argv=None):
 
     import jax
 
+    if cache_dir:
+        # the env var alone is not honored on every backend/version combo;
+        # the config update is (measured: env-only left the cache empty)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+
     from poismf_tpu.sparse import build_both_orientations
 
     mesh = None

@@ -917,7 +917,7 @@ def plan_compact(ell: EllMatrix, denom: int = 8) -> CompactPlan:
 def plan_compact_from_profile(
     ell: EllMatrix,
     per_bucket_active,
-    margin: float = 1.5,
+    margin: float = 2.0,
     max_slot_frac: float = 0.6,
 ) -> Optional[CompactPlan]:
     """A compact plan sized from an OBSERVED per-bucket active-row profile

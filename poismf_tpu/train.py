@@ -602,7 +602,7 @@ MAX_ADAPTIVE_REBUILDS = 3
 def _maybe_build_adaptive_plan(ell, aux):
     """After half-updates whose tails the uniform-denominator plans rejected
     (per-bucket overflow — typically the slow-converging long-row heads),
-    add a plan sized 1.5x the observed rejection profile.  The profile
+    add a plan sized 2x the observed rejection profile.  The profile
     keeps growing as later epochs reject differently-shaped tails, so the
     plan is REBUILT (bounded times) when outgrown; each build costs one
     extra compiled program set per orientation and turns rejected rounds
