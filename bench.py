@@ -274,9 +274,10 @@ def main(argv=None):
         )
         try:
             from poismf_tpu.ops.objective import eval_llk
+            from poismf_tpu.utils.transfer import fetch_host
 
-            ll = float(eval_llk(A, B, by_user))
-            spars = float(np.mean(np.asarray(A[:n_users]) == 0.0))
+            ll = float(fetch_host(eval_llk(A, B, by_user)))
+            spars = float(np.mean(fetch_host(A[:n_users]) == 0.0))
             print(f"# [{name}] train LL: {ll:.6g}  A-sparsity: {spars:.3f}",
                   file=sys.stderr)
         except Exception as e:  # diagnostics must never eat the JSON lines

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from .. import serve, train
 from ..ops import objective as obj
+from ..utils.transfer import fetch_host
 from ..sparse import (
     CountsMatrix,
     IngestResult,
@@ -161,13 +162,13 @@ class PoisMF:
     def A(self) -> np.ndarray:
         if self._A is None:
             return np.empty((0, 0), dtype=self.dtype)
-        return np.asarray(self._A[: self.nusers])
+        return fetch_host(self._A[: self.nusers])
 
     @property
     def B(self) -> np.ndarray:
         if self._B is None:
             return np.empty((0, 0), dtype=self.dtype)
-        return np.asarray(self._B[: self.nitems])
+        return fetch_host(self._B[: self.nitems])
 
     # ------------------------------------------------------------------- fit
 

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .sparse import CountsMatrix, build_counts, dedupe_sum
+from .utils.transfer import fetch_host
 from .ops import objective as obj
 from .train import FitParams
 from .solvers.pg import pg_update
@@ -109,8 +110,8 @@ def top_n(
             raise ValueError("All items are excluded.")
         vals, idx = _topn_scores_full(a_vec, B, min(n_top, n - n_excl), mask)
     if output_score:
-        return np.asarray(idx), np.asarray(vals)
-    return np.asarray(idx)
+        return fetch_host(idx), fetch_host(vals)
+    return fetch_host(idx)
 
 
 @functools.partial(jax.jit, static_argnames=("n_top",))
