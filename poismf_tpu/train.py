@@ -407,27 +407,37 @@ def _run_poismf_ell(
                     # rejected tail: record its per-bucket shape so the next
                     # half-update can build a right-sized adaptive plan
                     _update_profile(ell, aux, active)
+            # Every round's work is a pure function of host-held inputs, so
+            # a round whose result never lands (the transport occasionally
+            # loses an EXECUTION rpc for minutes — measured up to 12 min)
+            # is simply dispatched again; the transport memoizes identical
+            # executions, so re-dispatch of work that DID complete
+            # server-side is nearly free.
             if sel is not None:
                 # a tail that fits the smallest capacity is cheap enough to
                 # finish in one unbounded solve
                 if plan is aux["plans"][0]:
                     last = True
                 sels, src_cs, slot_map, row_nnz_c, _ = sel
-                x, act_c = _compact_round(
-                    x, fixed_p, ell, bsum_in,
-                    tuple(sels), tuple(src_cs), slot_map, row_nnz_c,
-                    p.l2_reg,
-                    jnp.asarray(unbounded if last else ROUND_ITERS,
-                                dtype=jnp.int32),
-                    plan=plan,
-                    dtype_name=(None if plane_dtype is None
-                                else str(np.dtype(plane_dtype))),
-                    maxupd=p.maxupd, w_mult=p.w_mult,
-                )
+
+                def round_compact(x_in):
+                    return _compact_round(
+                        x_in, fixed_p, ell, bsum_in,
+                        tuple(sels), tuple(src_cs), slot_map, row_nnz_c,
+                        p.l2_reg,
+                        jnp.asarray(unbounded if last else ROUND_ITERS,
+                                    dtype=jnp.int32),
+                        plan=plan,
+                        dtype_name=(None if plane_dtype is None
+                                    else str(np.dtype(plane_dtype))),
+                        maxupd=p.maxupd, w_mult=p.w_mult,
+                    )
+
                 if last:
+                    x, _ = round_compact(x)
                     act_next = None
                 else:
-                    act_c = fetch_host(act_c)
+                    x, act_c = _round_with_redispatch(round_compact, x)
                     sm = np.asarray(slot_map)
                     act_next = np.zeros(ell.n_rows_ell, dtype=bool)
                     live = act_c & (sm != ell.n_rows_ell - 1)
@@ -435,15 +445,23 @@ def _run_poismf_ell(
                 log(rnd, f"compact/{plan.denom}", last, active, act_next)
             else:
                 mask = None if active is None else jnp.asarray(active)
-                x, _, st = tncg_update_ell(
-                    x, planes, ell, bsum_in,
-                    reuse_prev=(p.reuse_prev if rnd == 0 else True),
-                    max_outer=(unbounded if last
-                               else (round0_iters if rnd == 0
-                                     else ROUND_ITERS)),
-                    return_stats=True, active_mask=mask, **solver_kw,
-                )
-                act_next = None if last else fetch_host(st["active"])
+
+                def round_full(x_in):
+                    x_out, _, st = tncg_update_ell(
+                        x_in, planes, ell, bsum_in,
+                        reuse_prev=(p.reuse_prev if rnd == 0 else True),
+                        max_outer=(unbounded if last
+                                   else (round0_iters if rnd == 0
+                                         else ROUND_ITERS)),
+                        return_stats=True, active_mask=mask, **solver_kw,
+                    )
+                    return x_out, st["active"]
+
+                if last:
+                    x, _ = round_full(x)
+                    act_next = None
+                else:
+                    x, act_next = _round_with_redispatch(round_full, x)
                 log(rnd, "full", last, active, act_next)
             if act_next is None or not act_next.any():
                 break
@@ -451,15 +469,21 @@ def _run_poismf_ell(
         new = x
         converged = False
         if early_stop:
+            from .utils.transfer import FetchStalled
+
             has = ell.row_nnz_perm > 0
             before = jnp.where(has[:, None], target_p, 0.0)
             delta = new - before
             small = jnp.sum(delta * delta, axis=1) <= 1e-4
-            share = (
-                float(fetch_host(jnp.sum(small & has)))
-                / max(ell.n_rows, 1)
-            )
-            converged = share >= 0.95
+            try:
+                share = (
+                    float(fetch_host(jnp.sum(small & has), give_up=True))
+                    / max(ell.n_rows, 1)
+                )
+                converged = share >= 0.95
+            except FetchStalled:
+                # lost read on a diagnostic: not-converged is always safe
+                converged = False
         return new, converged
 
     early = p.early_stop and p.method == "tncg"
@@ -523,6 +547,28 @@ _ELL_AUX: dict = {}
 # 10-25% tails at 1/4, and larger tails continue on the full structure
 # under the active mask (already compiled, no extra program).
 COMPACT_DENOMS = (16, 4)
+
+
+def _round_with_redispatch(round_fn, x_in, max_redispatch: int = 2):
+    """Run one cascade round and fetch its active mask, re-dispatching the
+    whole (pure) round when every read attempt stalls — the recovery path
+    for lost execution rpcs on the tunneled transport.  ``round_fn`` maps
+    the pre-round iterates to ``(x_out, active_device_array)``."""
+    from .utils.transfer import FetchStalled
+
+    for attempt in range(max_redispatch + 1):
+        x_out, act = round_fn(x_in)
+        try:
+            return x_out, fetch_host(act, give_up=attempt < max_redispatch)
+        except FetchStalled:
+            import sys as _sys
+
+            print(
+                "# poismf_tpu: cascade round result never landed "
+                f"(attempt {attempt + 1}); re-dispatching",
+                file=_sys.stderr, flush=True,
+            )
+    raise AssertionError("unreachable")
 
 
 def _cascade_logger(ell):

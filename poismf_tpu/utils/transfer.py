@@ -23,14 +23,28 @@ import numpy as np
 # First attempt gets this long before a retry is raced against it.  Healthy
 # reads of the small arrays this guards land in well under a second even
 # over the tunnel; 3 s also catches the transport's degraded mode where
-# every read crawls at 5-15 s without fully hanging.
+# every read crawls at 5-15 s without fully hanging.  The retry windows
+# escalate so that giving up (for callers that re-dispatch) only happens
+# well past any legitimate compile-plus-execute duration the read may be
+# waiting on — a lost READ resolves in the first retry; only a lost
+# EXECUTION (nothing to read, ever) runs the schedule out.
 FIRST_TIMEOUT_S = float(os.environ.get("POISMF_FETCH_TIMEOUT", "3"))
-RETRY_TIMEOUT_S = 20.0
-MAX_RETRIES = 4
+RETRY_TIMEOUTS_S = (20.0, 60.0, 90.0)
 
 
-def fetch_host(arr) -> np.ndarray:
-    """``np.asarray(arr)`` with stalled-read retry (see module doc)."""
+class FetchStalled(TimeoutError):
+    """Every read attempt (1 + len(RETRY_TIMEOUTS_S)) is still in flight."""
+
+
+def fetch_host(arr, give_up: bool = False) -> np.ndarray:
+    """``np.asarray(arr)`` with stalled-read retry (see module doc).
+
+    With ``give_up=True``, raises :class:`FetchStalled` once every attempt
+    has been pending longer than its timeout — for callers that can
+    re-dispatch the (pure) computation that produced ``arr`` instead of
+    waiting out a lost EXECUTION rpc; the transport memoizes identical
+    executions, so a re-dispatch of work that actually completed
+    server-side returns almost instantly."""
     done = threading.Event()
     out: dict = {}
 
@@ -50,10 +64,16 @@ def fetch_host(arr) -> np.ndarray:
         if isinstance(v, BaseException):
             raise v
         return v
-    for _ in range(MAX_RETRIES):
+    for w in RETRY_TIMEOUTS_S:
         threading.Thread(target=pull, daemon=True).start()
-        if done.wait(RETRY_TIMEOUT_S):
+        if done.wait(w):
             break
+    if not done.is_set() and give_up:
+        raise FetchStalled(
+            f"device->host read still pending after "
+            f"{FIRST_TIMEOUT_S + sum(RETRY_TIMEOUTS_S):.0f}s "
+            f"({1 + len(RETRY_TIMEOUTS_S)} attempts)"
+        )
     done.wait()  # all retries in flight: block until ANY attempt lands
     v = out["v"]
     if isinstance(v, BaseException):

@@ -94,7 +94,7 @@ class _StallingOnce:
 
 def test_fetch_host_races_a_stalled_read(monkeypatch):
     monkeypatch.setattr(transfer, "FIRST_TIMEOUT_S", 0.2)
-    monkeypatch.setattr(transfer, "RETRY_TIMEOUT_S", 5.0)
+    monkeypatch.setattr(transfer, "RETRY_TIMEOUTS_S", (5.0, 5.0))
     staller = _StallingOnce()
     t0 = time.time()
     out = transfer.fetch_host(staller)
@@ -108,3 +108,32 @@ def test_fetch_host_races_a_stalled_read(monkeypatch):
 def test_fetch_host_fast_path():
     out = transfer.fetch_host(np.ones(3))
     np.testing.assert_array_equal(out, np.ones(3))
+
+
+def test_round_redispatch_recovers_lost_execution(monkeypatch):
+    """A round whose result read stalls out is dispatched again from the
+    same inputs, and the retry's result is used."""
+    monkeypatch.setattr(transfer, "FIRST_TIMEOUT_S", 0.1)
+    monkeypatch.setattr(transfer, "RETRY_TIMEOUTS_S", (0.1,))
+
+    release = threading.Event()
+
+    class _AlwaysStalling:
+        def __array__(self, dtype=None, copy=None):
+            release.wait(30.0)
+            return np.arange(4, dtype=np.float32)
+
+    calls = {"n": 0}
+
+    def round_fn(x_in):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # first dispatch: every read of the result hangs
+            return x_in + 1, _AlwaysStalling()
+        return x_in + 1, np.arange(4, dtype=np.float32)
+
+    x, act = train._round_with_redispatch(round_fn, np.zeros(3))
+    release.set()
+    assert calls["n"] == 2
+    np.testing.assert_array_equal(x, np.ones(3))
+    np.testing.assert_array_equal(act, np.arange(4, dtype=np.float32))
