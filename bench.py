@@ -84,7 +84,8 @@ def run_config(name, by_user, by_item, n_users, n_items, mesh=None,
     """Warm-compile then time one full fit; returns (fit_s, A, B, params)."""
     import jax
 
-    from poismf_tpu.train import FitParams, initialize_factors, run_poismf
+    from poismf_tpu.train import (FitParams, initialize_factors_device,
+                                  run_poismf)
 
     cfg = CONFIGS[name]
     params = FitParams(
@@ -100,12 +101,11 @@ def run_config(name, by_user, by_item, n_users, n_items, mesh=None,
         # re-running a previously-run computation — the warmup, or a fixed
         # seed from an earlier bench invocation — reads as ~0 s of fake
         # wall time.
-        nprng = np.random.default_rng(seed)
-        A = initialize_factors(
-            n_users, by_user.n_rows_pad, cfg["k"], nprng, np.float32
+        A = initialize_factors_device(
+            n_users, by_user.n_rows_pad, cfg["k"], seed
         )
-        B = initialize_factors(
-            n_items, by_item.n_rows_pad, cfg["k"], nprng, np.float32
+        B = initialize_factors_device(
+            n_items, by_item.n_rows_pad, cfg["k"], seed + 7919
         )
         t0 = time.time()
         marks = [t0]

@@ -189,6 +189,30 @@ def initialize_factors(
     return jnp.asarray(M)
 
 
+@functools.partial(jax.jit, static_argnames=("n_rows", "n_rows_pad", "k"))
+def _init_factors_device(seed, *, n_rows: int, n_rows_pad: int, k: int):
+    key = jax.random.PRNGKey(seed)
+    M = 0.3 + jax.random.uniform(
+        key, (n_rows_pad, k), jnp.float32, 0.0, 0.01
+    )
+    rows = jnp.arange(n_rows_pad)[:, None] < n_rows
+    return jnp.where(rows, M, 0.0)
+
+
+def initialize_factors_device(
+    n_rows: int, n_rows_pad: int, k: int, seed: int
+) -> jnp.ndarray:
+    """Same distribution as :func:`initialize_factors`, generated ON the
+    device (a different PRNG stream): only the 8-byte seed crosses the
+    host-device boundary instead of the full [n_rows_pad, k] matrix —
+    which at Last.FM scale is ~106 MB per fit and tens of seconds on a
+    degraded tunnel link."""
+    return _init_factors_device(
+        jnp.asarray(int(seed), dtype=jnp.uint32),
+        n_rows=n_rows, n_rows_pad=n_rows_pad, k=k,
+    )
+
+
 def _half_update(
     target: jnp.ndarray,
     fixed: jnp.ndarray,
