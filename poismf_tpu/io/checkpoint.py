@@ -17,14 +17,19 @@ _HYPERPARAMS = [
     "k", "method", "l2_reg", "l1_reg", "niter", "maxupd", "limit_step",
     "initial_step", "early_stop", "reuse_prev", "weight_mult", "random_state",
     "reindex", "copy_data", "produce_dicts", "use_float", "handle_interrupt",
-    "nnz_chunk",
+    "nnz_chunk", "layout", "plane_dtype",
 ]
+
+# v1 (round 1-2) lacked layout/plane_dtype; v2 adds them plus this key.
+# Loading is forward-tolerant: unknown constructor keys would be a hard
+# error, so a version newer than ours raises with a clear message.
+_FORMAT_VERSION = 2
 
 
 def save_model(model, path: str):
     if not path.endswith(".npz"):
         path = path + ".npz"
-    hp = {}
+    hp = {"__format_version__": _FORMAT_VERSION}
     for name in _HYPERPARAMS:
         v = getattr(model, name)
         if isinstance(v, (np.integer,)):
@@ -57,6 +62,12 @@ def load_model(cls, path: str):
         path = path + ".npz"
     with np.load(path, allow_pickle=True) as data:
         hp = json.loads(bytes(data["hyperparams"]).decode("utf-8"))
+        version = hp.pop("__format_version__", 1)
+        if version > _FORMAT_VERSION:
+            raise ValueError(
+                f"checkpoint format v{version} is newer than this build "
+                f"(v{_FORMAT_VERSION}); upgrade poismf_tpu to load it"
+            )
         model = cls(**hp)
         # float64 checkpoints need the scoped x64 context or jnp.asarray
         # below would silently downcast the factors to f32

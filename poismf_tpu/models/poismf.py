@@ -386,7 +386,13 @@ class PoisMF:
         )
         idx = np.asarray(idx)
         if self.reindex and len(self.item_mapping_):
-            idx = np.asarray(self.item_mapping_)[idx]
+            # exhausted-candidate slots carry the sentinel -1 (see
+            # serve.top_n_batched); keep it out of the id remap
+            mapped = np.asarray(self.item_mapping_)[np.maximum(idx, 0)]
+            if np.any(idx < 0):
+                mapped = mapped.astype(object)
+                mapped[idx < 0] = -1
+            idx = mapped
         if output_score:
             return idx, np.asarray(vals)
         return idx

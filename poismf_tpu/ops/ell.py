@@ -231,6 +231,11 @@ def build_ell(
     primary_of_v = v_offsets[orig_of_v]
 
     # CSR-style slot within each original row for every nonzero
+    if rows_sorted and nnz and not bool(np.all(rows[:-1] <= rows[1:])):
+        # cheap O(nnz) guard: the slot computation below silently corrupts
+        # the layout if the promised sorted-ascending invariant is violated
+        # (e.g. a CountsMatrix assembled by hand) — fall back to sorting
+        rows_sorted = False
     if rows_sorted:
         r_sorted = rows
         cols_s = cols

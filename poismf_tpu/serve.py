@@ -97,18 +97,21 @@ def top_n(
             if B.shape[0] != n:  # mask padded item rows
                 mask = mask.at[n:].set(True)
             if exclude_ix is not None:
-                # any number of exclusions up to n_items - 1 is served, like
-                # the reference's swap-to-tail strategy (topN.c:155-169); if
-                # fewer than n_top candidates remain, the result is clipped
                 n_excl = int(np.unique(np.asarray(exclude_ix)).shape[0])
                 mask = mask.at[jnp.asarray(exclude_ix, dtype=jnp.int32)].set(
                     True
                 )
         if n_top > n:
             raise ValueError("'n_top' is larger than the number of items.")
-        if n - n_excl <= 0:
-            raise ValueError("All items are excluded.")
-        vals, idx = _topn_scores_full(a_vec, B, min(n_top, n - n_excl), mask)
+        if n_excl > n - n_top:
+            # the reference REFUSES rather than returning a short list
+            # (topN.c:127 ``n_exclude > n-n_top -> return 2`` -> the Python
+            # wrapper raises); callers always get exactly n_top items
+            raise ValueError(
+                "Too many excluded items: fewer than 'n_top' candidates "
+                "remain."
+            )
+        vals, idx = _topn_scores_full(a_vec, B, n_top, mask)
     if output_score:
         return fetch_host(idx), fetch_host(vals)
     return fetch_host(idx)
@@ -124,11 +127,18 @@ def top_n_batched(
     """Full-catalog top-N for a BATCH of user vectors: one [Q,k]x[k,n] MXU
     matmul + top_k.  ``exclude_mask`` is an optional [Q, n_items] bool mask
     (True = forbidden).  This is the high-throughput serving path with no
-    per-user host round-trips."""
+    per-user host round-trips.
+
+    Positions whose candidate pool is exhausted (every remaining item was
+    masked) return the sentinel id ``-1`` with a ``-inf`` score, never a
+    masked item's id — the batched analog of the reference's refusal when
+    ``n_exclude > n - n_top`` (topN.c:127)."""
     scores = A_query @ B.T
     if exclude_mask is not None:
         scores = jnp.where(exclude_mask, NEG_INF, scores)
     vals, idx = lax.top_k(scores, n_top)
+    if exclude_mask is not None:
+        idx = jnp.where(vals == NEG_INF, -1, idx)
     return vals, idx
 
 

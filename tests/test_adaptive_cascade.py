@@ -14,19 +14,29 @@ from poismf_tpu.utils import transfer
 
 
 def test_plan_from_profile_caps_and_gate(rng):
-    rows, cols, vals = synth_counts(rng, n_users=300, n_items=100,
+    rows, cols, vals = synth_counts(rng, n_users=3000, n_items=100,
                                     density=0.1)
-    bu, _ = build_both_orientations(rows, cols, vals, 300, 100)
+    bu, _ = build_both_orientations(rows, cols, vals, 3000, 100)
     ell = ell_ops.ell_from_counts(bu)
     nb = len(ell.buckets)
+    # the margin must be visible through the tile rounding: at least one
+    # bucket must be big enough that the cap is not clamped to n_rows
+    assert max(b.n_rows for b in ell.buckets) >= 2 * ell_ops.ROW_TILE
 
-    # small profile -> caps are tile-rounded 1.5x counts, clamped to bucket
-    prof = np.full(nb, 10)
+    # profile of 65 active rows per bucket: margin 2.0 -> int(130) ->
+    # tile-rounds to 256; a margin regression to 1.5 would give int(97) ->
+    # 128, so the assertion detects it (in unclamped buckets)
+    MARGIN = 2.0  # plan_compact_from_profile's default
+    prof = np.full(nb, 65)
     plan = ell_ops.plan_compact_from_profile(ell, prof)
     assert plan is not None and plan.denom == 0
+    checked_unclamped = False
     for b, cap in zip(ell.buckets, plan.caps):
-        assert cap == min(b.n_rows, ell_ops._ceil_to(
-            max(15, ell_ops.ROW_TILE), ell_ops.ROW_TILE))
+        expect = min(b.n_rows, ell_ops._ceil_to(
+            max(int(MARGIN * 65), ell_ops.ROW_TILE), ell_ops.ROW_TILE))
+        assert cap == expect
+        checked_unclamped |= expect < b.n_rows
+    assert checked_unclamped
 
     # near-full profile -> plan not worth a compile
     prof_full = np.array([b.n_rows for b in ell.buckets])

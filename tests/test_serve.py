@@ -69,11 +69,12 @@ def test_topn_validation(factors):
         serve.top_n(a, B, n_top=0)
     with pytest.raises(ValueError):
         serve.top_n(a, B, n_top=3, include_ix=np.array([1, 2]))
-    # excluding more than n - n_top items clips the result, like the
-    # reference's swap-to-tail strategy serves any exclude size
-    # (topN.c:155-169)
-    idx = serve.top_n(a, B, n_top=49, exclude_ix=np.arange(5))
-    assert len(idx) == B.shape[0] - 5
+    # excluding more than n - n_top items refuses (topN.c:127); the largest
+    # serveable request still returns exactly n_top items
+    with pytest.raises(ValueError):
+        serve.top_n(a, B, n_top=49, exclude_ix=np.arange(5))
+    idx = serve.top_n(a, B, n_top=45, exclude_ix=np.arange(5))
+    assert len(idx) == 45
     assert len(set(idx.tolist()) & set(range(5))) == 0
 
 
@@ -228,14 +229,35 @@ def test_top_n_validation_errors(rng):
         serve.top_n(a, B, n_top=11)
     with pytest.raises(ValueError):
         serve.top_n(a, B, n_top=3, include_ix=np.array([1, 2]))
-    # excluding more than n - n_top clips rather than raising
-    idx = serve.top_n(a, B, n_top=8, exclude_ix=np.arange(5))
-    assert len(idx) == 5 and not (set(idx.tolist()) & set(range(5)))
-    # excluding all but a few items still works (topN.c:155-169 semantics)
-    idx = serve.top_n(a, B, n_top=5, exclude_ix=np.arange(7))
+    # excluding more than n - n_top REFUSES, like topN.c:127 (the result is
+    # never silently shorter than n_top)
+    with pytest.raises(ValueError):
+        serve.top_n(a, B, n_top=8, exclude_ix=np.arange(5))
+    with pytest.raises(ValueError):
+        serve.top_n(a, B, n_top=5, exclude_ix=np.arange(7))
+    # excluding exactly n - n_top items still returns exactly n_top
+    idx = serve.top_n(a, B, n_top=3, exclude_ix=np.arange(7))
     assert sorted(idx.tolist()) == [7, 8, 9]
     with pytest.raises(ValueError):  # nothing left to recommend
         serve.top_n(a, B, n_top=1, exclude_ix=np.arange(10))
     with pytest.raises(ValueError):
         serve.top_n(a, B, n_top=2, include_ix=np.array([1, 2, 3]),
                     exclude_ix=np.array([4]))
+
+
+def test_top_n_batched_exhausted_candidates_sentinel(rng):
+    """Users whose exclusion mask leaves fewer than n_top candidates get the
+    sentinel id -1 (never a masked item's id) in the exhausted slots."""
+    A = jnp.asarray(rng.uniform(0, 1, (3, 5)).astype(np.float32))
+    B = jnp.asarray(rng.uniform(0, 1, (10, 5)).astype(np.float32))
+    mask = np.zeros((3, 10), dtype=bool)
+    mask[1, :8] = True  # user 1: only items 8, 9 remain but n_top=4
+    mask[2, :] = True  # user 2: nothing remains
+    vals, idx = serve.top_n_batched(A, B, 4, jnp.asarray(mask))
+    idx, vals = np.asarray(idx), np.asarray(vals)
+    assert np.all(idx[0] >= 0)
+    assert sorted(idx[1, :2].tolist()) in ([8, 9], [9, 8]) or \
+        set(idx[1, :2].tolist()) == {8, 9}
+    np.testing.assert_array_equal(idx[1, 2:], [-1, -1])
+    np.testing.assert_array_equal(idx[2], [-1] * 4)
+    assert np.all(np.isneginf(vals[1, 2:])) and np.all(np.isneginf(vals[2]))
