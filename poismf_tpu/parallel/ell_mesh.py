@@ -17,7 +17,8 @@ permutation is needed.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Tuple
+import functools
+from typing import List, NamedTuple, Optional, Tuple
 
 import numpy as np
 import jax
@@ -30,6 +31,12 @@ from ..train import FitParams
 from .mesh import AXIS, _ceil_to, pad_rows_for_mesh
 
 ROW_TILE = ell_ops.ROW_TILE
+
+# When set to a list (by tests / POISMF_CASCADE_LOG), the sharded tncg
+# cascade appends one (round, structure, active_in, active_out) tuple per
+# round — the observability hook proving that passes shrink after rows
+# converge, like the single-chip cascade.
+CASCADE_TRACE: Optional[list] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -184,7 +191,7 @@ def shard_ell(X: CountsMatrix, n_shards: int) -> ShardedEll:
             row_nnz[d, sl] = np.asarray(e.row_nnz_perm[old_sl])
         inv_perm[d] = old2new[np.asarray(e.inv_perm)].astype(np.int32)
 
-    return ShardedEll(
+    se = ShardedEll(
         cols=tuple(jnp.asarray(c) for c in lcols),
         vals=tuple(jnp.asarray(v) for v in lvals),
         srcs=tuple(None if s is None else jnp.asarray(s) for s in lsrcs),
@@ -200,6 +207,334 @@ def shard_ell(X: CountsMatrix, n_shards: int) -> ShardedEll:
         n_rows=X.n_rows,
         n_cols=X.n_cols,
     )
+    # host copies of the cascade-planning metadata (cf. EllMatrix.host_aux):
+    # per-device row_nnz and src indirection, so the round loop's active-row
+    # selection never pulls them back off the devices
+    object.__setattr__(
+        se, "host_aux",
+        dict(row_nnz=row_nnz, srcs=[s for s in lsrcs]),
+    )
+    return se
+
+
+# ---------------------------------------------------------------------------
+# Sharded tncg annealing cascade
+#
+# The multi-chip port of train._run_poismf_ell's cascade: the round loop and
+# the active-row selection stay on the HOST (exactly like single-chip), but
+# every round is one shard_map program over the mesh — each device compacts
+# and solves ITS OWN still-active tail, so converged rows stop costing HBM
+# bandwidth on every chip (the reference's per-row early exit scales with
+# OpenMP threads for free, poismf.c:393-403; this is the batched equivalent).
+# The fixed side's planes are gathered ONCE per half-update and stay
+# device-resident across rounds.
+# ---------------------------------------------------------------------------
+
+
+class _MetaBucket(NamedTuple):
+    offset: int
+    n_rows: int
+    P: int
+
+
+class _MetaEll(NamedTuple):
+    """Duck-typed stand-in for EllMatrix in the host-side planning helpers
+    (ell_ops.plan_compact / select_active only touch bucket geometry)."""
+
+    buckets: Tuple[_MetaBucket, ...]
+    n_rows_ell: int
+
+
+def _meta_ell(se: ShardedEll) -> _MetaEll:
+    return _MetaEll(
+        buckets=tuple(
+            _MetaBucket(off, rb, Pw)
+            for off, rb, Pw in zip(se.offsets, se.Rbs, se.Ps)
+        ),
+        n_rows_ell=se.n_slots,
+    )
+
+
+def _make_se_aux(se: ShardedEll) -> dict:
+    from .. import train as train_mod
+
+    meta = _meta_ell(se)
+    ha = getattr(se, "host_aux", None)
+    if ha is None:  # reconstructed ShardedEll: pull once
+        ha = dict(
+            row_nnz=np.asarray(se.row_nnz),
+            srcs=[None if s is None else np.asarray(s) for s in se.srcs],
+        )
+    return dict(
+        meta=meta,
+        plans=[ell_ops.plan_compact(meta, d)
+               for d in train_mod.COMPACT_DENOMS],
+        row_nnz=ha["row_nnz"],
+        srcs=ha["srcs"],
+    )
+
+
+def _prep_tncg_body(p, se: ShardedEll, plane_dtype,
+                    target_loc, fixed, Bsum,
+                    cols, vals, srcs, perm, inv_perm, row_nnz):
+    """Once per half-update: permute the local rows into ELL order and gather
+    the fixed side's planes (device-resident for every cascade round)."""
+    ell = se.local_ell(cols, vals, srcs, perm, inv_perm, row_nnz)
+    x = ell_ops.permute_rows(target_loc, ell.perm)
+    planes = ell_ops.gather_planes(fixed, ell, plane_dtype)
+    if p.w_mult != 1.0:
+        bsum = ell_ops.adjusted_bsum_ell(planes, ell, Bsum, p.w_mult)
+    else:
+        bsum = jnp.zeros((1, 1), dtype=x.dtype)  # unused placeholder
+    return x, tuple(bg[None] for bg in planes), bsum
+
+
+def _full_round_body(p, se: ShardedEll,
+                     reuse_prev, max_outer, x, active, Bsum, bsum2d, planes,
+                     cols, vals, srcs, perm, inv_perm, row_nnz):
+    from ..solvers.tncg import _tncg_update_ell_jit
+
+    ell = se.local_ell(cols, vals, srcs, perm, inv_perm, row_nnz)
+    planes_l = tuple(bg[0] for bg in planes)
+    bsum_l = bsum2d if p.w_mult != 1.0 else Bsum
+    x_new, _, st = _tncg_update_ell_jit(
+        x, planes_l, ell, bsum_l, reuse_prev, max_outer, active,
+        l2_reg=p.l2_reg, w_mult=p.w_mult, maxupd=p.maxupd,
+    )
+    return x_new, st["active"]
+
+
+def _compact_round_body(p, se: ShardedEll, plan, dtype_name,
+                        max_outer, x, fixed, Bsum, bsum2d,
+                        sels, src_cs, slot_map, row_nnz_c,
+                        cols, vals, srcs, perm, inv_perm, row_nnz):
+    from ..solvers.tncg import _tncg_update_ell_jit
+
+    ell = se.local_ell(cols, vals, srcs, perm, inv_perm, row_nnz)
+    sels_l = tuple(s[0] for s in sels)
+    src_cs_l = tuple(None if s is None else s[0] for s in src_cs)
+    compact, slot_map_d = ell_ops.build_compact(
+        ell, plan, sels_l, src_cs_l, slot_map[0], row_nnz_c[0]
+    )
+    planes_c = ell_ops.gather_planes(
+        fixed, compact, None if dtype_name is None else dtype_name
+    )
+    bsum_c = (
+        jnp.take(bsum2d, slot_map_d, axis=0) if p.w_mult != 1.0 else Bsum
+    )
+    x_c = jnp.take(x, slot_map_d, axis=0)
+    x_new, _, st = _tncg_update_ell_jit(
+        x_c, planes_c, compact, bsum_c,
+        jnp.asarray(True), max_outer,
+        jnp.ones((x_c.shape[0],), dtype=bool),
+        l2_reg=p.l2_reg, w_mult=p.w_mult, maxupd=p.maxupd,
+    )
+    x_out = ell_ops.scatter_back(x, x_new, compact.perm,
+                                 compact.row_nnz_perm)
+    return x_out, st["active"]
+
+
+def _unpermute_body(se: ShardedEll, x, inv_perm):
+    return jnp.take(x, inv_perm[0], axis=0, mode="fill", fill_value=0)
+
+
+def _src_specs(srcs):
+    return tuple(P() if s is None else P(AXIS, None) for s in srcs)
+
+
+def sharded_tncg_cascade_half(
+    mesh: Mesh,
+    p: FitParams,
+    target: jnp.ndarray,
+    fixed: jnp.ndarray,
+    se: ShardedEll,
+    aux: dict,
+    early_stop: bool,
+) -> Tuple[jnp.ndarray, bool]:
+    """One tncg half-update over the mesh with active-set compaction.
+
+    Mirrors the single-chip cascade's round schedule (train._run_poismf_ell):
+    a short full-structure round, then rounds on the smallest per-device
+    compact structure the still-active tail fits, with the final tail solved
+    unbounded.  Returns (new_target_rows, converged_flag)."""
+    from .. import train as train_mod
+    from ..utils.transfer import fetch_host
+
+    D = se.n_shards
+    plane_dtype = None if p.plane_dtype is None else jnp.dtype(p.plane_dtype)
+    dtype_name = None if plane_dtype is None else str(np.dtype(plane_dtype))
+
+    Bsum = (jnp.sum(fixed, axis=0) + p.l1_reg).astype(target.dtype)
+
+    ell_specs = (
+        tuple(P(AXIS, None, None) for _ in se.cols),
+        tuple(P(AXIS, None, None) for _ in se.vals),
+        _src_specs(se.srcs),
+        P(AXIS, None),  # perm
+        P(AXIS, None),  # inv_perm
+        P(AXIS, None),  # row_nnz
+    )
+    ell_args = (se.cols, se.vals, se.srcs, se.perm, se.inv_perm, se.row_nnz)
+
+    # Build the shard_map programs ONCE per (se, mesh): the wrapped partial's
+    # identity is the jit cache key, so rebuilding it per half-update would
+    # retrace and recompile every round.
+    progs = aux.get("programs")
+    if progs is None or progs["mesh"] is not mesh:
+        progs = {"mesh": mesh, "compact": {}}
+        progs["prep"] = jax.shard_map(
+            functools.partial(_prep_tncg_body, p, se, plane_dtype),
+            mesh=mesh,
+            in_specs=(P(AXIS, None), P(), P()) + ell_specs,
+            out_specs=(
+                P(AXIS, None),
+                tuple(P(AXIS, None, None, None) for _ in se.cols),
+                P(AXIS, None),
+            ),
+            check_vma=False,
+        )
+        progs["full"] = jax.shard_map(
+            functools.partial(_full_round_body, p, se),
+            mesh=mesh,
+            in_specs=(P(), P(), P(AXIS, None), P(AXIS), P(), P(AXIS, None),
+                      tuple(P(AXIS, None, None, None) for _ in se.cols))
+            + ell_specs,
+            out_specs=(P(AXIS, None), P(AXIS)),
+            check_vma=False,
+        )
+        progs["unperm"] = jax.shard_map(
+            functools.partial(_unpermute_body, se),
+            mesh=mesh,
+            in_specs=(P(AXIS, None), P(AXIS, None)),
+            out_specs=P(AXIS, None),
+            check_vma=False,
+        )
+        aux["programs"] = progs
+
+    x0, planes, bsum2d = progs["prep"](target, fixed, Bsum, *ell_args)
+    full_round = progs["full"]
+
+    def compact_round_fn(plan):
+        key = id(plan)
+        if key not in progs["compact"]:
+            progs["compact"][key] = jax.shard_map(
+                functools.partial(_compact_round_body, p, se, plan,
+                                  dtype_name),
+                mesh=mesh,
+                in_specs=(
+                    P(), P(AXIS, None), P(), P(), P(AXIS, None),
+                    tuple(P(AXIS, None) for _ in se.cols),  # sels
+                    _src_specs(se.srcs),                    # src_cs
+                    P(AXIS, None),                          # slot_map
+                    P(AXIS, None),                          # row_nnz_c
+                ) + ell_specs,
+                out_specs=(P(AXIS, None), P(AXIS)),
+                check_vma=False,
+            )
+        return progs["compact"][key]
+
+    MAX_ROUNDS = 8
+    ROUND_ITERS = 4
+    round0_iters = 3
+    unbounded = max(4, p.maxupd // 3)
+    n_slots = se.n_slots
+
+    x = x0
+    active = None  # host [D, n_slots] bool; None = all rows (first round)
+    for rnd in range(MAX_ROUNDS):
+        last = rnd == MAX_ROUNDS - 1
+        sel = plan = None
+        if active is not None:
+            for plan in aux["plans"]:  # smallest capacity first
+                per_dev = []
+                for d in range(D):
+                    s = ell_ops.select_active(
+                        aux["meta"], plan, active[d], aux["row_nnz"][d],
+                        [None if sh is None else sh[d]
+                         for sh in aux["srcs"]],
+                    )
+                    if s is None:
+                        per_dev = None
+                        break
+                    per_dev.append(s)
+                if per_dev is not None:
+                    sel = per_dev
+                    break
+        n_in = D * n_slots if active is None else int(
+            np.count_nonzero(active)
+        )
+        if sel is not None:
+            if plan is aux["plans"][0]:
+                last = True  # smallest structure: finish unbounded
+            sels = tuple(
+                jnp.asarray(np.stack([s[0][li] for s in sel]))
+                for li in range(len(se.cols))
+            )
+            src_cs = tuple(
+                None if sel[0][1][li] is None
+                else jnp.asarray(np.stack([s[1][li] for s in sel]))
+                for li in range(len(se.cols))
+            )
+            slot_map_h = np.stack([s[2] for s in sel])  # [D, n_slots_c]
+            row_nnz_c = jnp.asarray(np.stack([s[3] for s in sel]))
+            x, act_c = compact_round_fn(plan)(
+                jnp.asarray(unbounded if last else ROUND_ITERS,
+                            dtype=jnp.int32),
+                x, fixed, Bsum, bsum2d,
+                sels, src_cs, jnp.asarray(slot_map_h), row_nnz_c,
+                *ell_args,
+            )
+            if last:
+                act_next = None
+            else:
+                act_c = np.asarray(
+                    fetch_host(act_c)
+                ).reshape(D, plan.n_slots)
+                act_next = np.zeros((D, n_slots), dtype=bool)
+                for d in range(D):
+                    sm = slot_map_h[d]
+                    live = act_c[d] & (sm != n_slots - 1)
+                    act_next[d][sm[live]] = True
+            structure = f"compact/{plan.denom}"
+        else:
+            mask = (
+                np.ones((D, n_slots), dtype=bool) if active is None
+                else active
+            )
+            x, act = full_round(
+                jnp.asarray(bool(p.reuse_prev) if rnd == 0 else True),
+                jnp.asarray(unbounded if last
+                            else (round0_iters if rnd == 0 else ROUND_ITERS),
+                            dtype=jnp.int32),
+                x, jnp.asarray(mask.reshape(-1)), Bsum, bsum2d, planes,
+                *ell_args,
+            )
+            act_next = (
+                None if last
+                else np.asarray(fetch_host(act)).reshape(D, n_slots)
+            )
+            structure = "full"
+        if CASCADE_TRACE is not None:
+            CASCADE_TRACE.append((
+                rnd, structure, n_in,
+                0 if act_next is None else int(np.count_nonzero(act_next)),
+            ))
+        if act_next is None or not act_next.any():
+            break
+        active = act_next
+
+    converged = False
+    if early_stop:
+        has = se.row_nnz.reshape(-1) > 0
+        delta = x - x0
+        small = jnp.sum(
+            (jnp.sum(delta * delta, axis=1) <= 1e-4) & has
+        )
+        converged = (
+            float(fetch_host(small)) / max(se.n_rows, 1)
+        ) >= 0.95
+
+    return progs["unperm"](x, se.inv_perm), converged
 
 
 # ---------------------------------------------------------------------------
@@ -297,7 +632,13 @@ def run_poismf_ell_sharded(
     handle_interrupt: bool = True,
     callback=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, int]:
-    """Multi-device alternating driver on the planar-ELL layout."""
+    """Multi-device alternating driver on the planar-ELL layout.
+
+    With ``method="tncg"`` and ``compact_tail=True`` (the defaults) each
+    half-update runs the annealing cascade (:func:`sharded_tncg_cascade_half`)
+    so every device compacts its converged rows away, and the early-stop vote
+    comes from the cascade's own on-device unchanged count — no full-matrix
+    host pulls."""
     p = params.resolved()
     D = int(np.prod(mesh.devices.shape))
     su = shard_ell(by_user, D)
@@ -314,9 +655,15 @@ def run_poismf_ell_sharded(
     converged_A = converged_B = False
 
     def unchanged_share(old, new, n_true):
-        delta = (new - old)[:n_true]
-        small = jnp.sum((delta * delta).sum(axis=1) <= 1e-4)
+        # mask (not slice) so the computation stays sharded over the mesh
+        real = jnp.arange(new.shape[0]) < n_true
+        delta = new - old
+        small = jnp.sum((jnp.sum(delta * delta, axis=1) <= 1e-4) & real)
         return float(small) / max(n_true, 1)
+
+    cascade = p.method == "tncg" and p.compact_tail
+    aux_u = _make_se_aux(su) if cascade else None
+    aux_i = _make_se_aux(si) if cascade else None
 
     early = p.early_stop and p.method == "tncg"
     try:
@@ -324,20 +671,34 @@ def run_poismf_ell_sharded(
             div_step = step_size
             steps = jnp.asarray([step_size, div_step], dtype=A.dtype)
             if not converged_B:
-                B_old = B
-                B = sharded_half_update_ell(mesh, p, B, A, si, steps)
-                if early:
-                    converged_B = unchanged_share(B_old, B, n_items) >= 0.95
+                if cascade:
+                    B, converged_B = sharded_tncg_cascade_half(
+                        mesh, p, B, A, si, aux_i, early
+                    )
+                else:
+                    B_old = B
+                    B = sharded_half_update_ell(mesh, p, B, A, si, steps)
+                    if early:
+                        converged_B = (
+                            unchanged_share(B_old, B, n_items) >= 0.95
+                        )
             if p.method == "pg":
                 # halved between the halves (poismf.c:532); A keeps the
                 # pre-halving step in its proximal divisor (poismf.c:511)
                 step_size *= 0.5
                 steps = jnp.asarray([step_size, div_step], dtype=A.dtype)
             if not converged_A:
-                A_old = A
-                A = sharded_half_update_ell(mesh, p, A, B, su, steps)
-                if early:
-                    converged_A = unchanged_share(A_old, A, n_users) >= 0.95
+                if cascade:
+                    A, converged_A = sharded_tncg_cascade_half(
+                        mesh, p, A, B, su, aux_u, early
+                    )
+                else:
+                    A_old = A
+                    A = sharded_half_update_ell(mesh, p, A, B, su, steps)
+                    if early:
+                        converged_A = (
+                            unchanged_share(A_old, A, n_users) >= 0.95
+                        )
             if callback is not None:
                 callback(epoch, A, B)
             if p.method == "tncg" and converged_A and converged_B:

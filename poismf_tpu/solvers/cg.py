@@ -78,6 +78,8 @@ def _cg_core(
         gnorm_prev=jnp.ones((R,), dtype=dtype),
         nfeval=nfeval0,
         active=active0,
+        # GLOBAL full-sweep count (init f = 1); see tncg._tncg_core.passes
+        passes=jnp.ones((), dtype=jnp.float32),
     )
 
     def cond(s):
@@ -171,17 +173,48 @@ def _cg_core(
             gnorm_prev=jnp.maximum(jnp.sum(g * g, axis=1), 1e-30),
             nfeval=ls["nfeval"],
             active=active,
+            # one fg sweep + one f sweep per line-search trial
+            passes=s["passes"] + 1.0 + ls["ls"].astype(jnp.float32),
         )
 
     out = lax.while_loop(cond, body, state0)
-    return out["x"]
+    return out["x"], out["passes"]
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("maxupd", "limit_step", "w_mult", "nnz_chunk",
-                     "maxnfeval"),
+                     "maxnfeval", "return_passes"),
 )
+def _cg_update_jit(
+    A: jnp.ndarray,
+    B: jnp.ndarray,
+    X: CountsMatrix,
+    Bsum: jnp.ndarray,
+    *,
+    l2_reg: float,
+    w_mult: float,
+    maxupd: int,
+    limit_step: bool,
+    nnz_chunk: Optional[int],
+    maxnfeval: int,
+    return_passes: bool,
+):
+    def fg(Acur):
+        return obj.poisson_fg(Acur, B, X, Bsum, l2_reg, w_mult, nnz_chunk)
+
+    def f_only(Acur):
+        return obj.poisson_f(Acur, B, X, Bsum, l2_reg, w_mult, nnz_chunk)
+
+    has_nnz = X.row_nnz > 0
+    x0 = jnp.where(has_nnz[:, None], A, 0.0)
+    x, passes = _cg_core(
+        x0, has_nnz, fg, f_only,
+        maxupd=maxupd, limit_step=limit_step, maxnfeval=maxnfeval,
+    )
+    return (x, passes) if return_passes else x
+
+
 def cg_update(
     A: jnp.ndarray,
     B: jnp.ndarray,
@@ -194,28 +227,51 @@ def cg_update(
     limit_step: bool = True,
     nnz_chunk: Optional[int] = None,
     maxnfeval: int = CG_MAXNFEVAL,
-) -> jnp.ndarray:
+    return_passes: bool = False,
+):
     """Run up to ``maxupd`` batched CG iterations on every row of A
-    (flat-COO backend)."""
-
-    def fg(Acur):
-        return obj.poisson_fg(Acur, B, X, Bsum, l2_reg, w_mult, nnz_chunk)
-
-    def f_only(Acur):
-        return obj.poisson_f(Acur, B, X, Bsum, l2_reg, w_mult, nnz_chunk)
-
-    has_nnz = X.row_nnz > 0
-    x0 = jnp.where(has_nnz[:, None], A, 0.0)
-    return _cg_core(
-        x0, has_nnz, fg, f_only,
-        maxupd=maxupd, limit_step=limit_step, maxnfeval=maxnfeval,
+    (flat-COO backend).  ``return_passes=True`` additionally returns the
+    global full-sweep count (bandwidth accounting)."""
+    return _cg_update_jit(
+        A, B, X, Bsum, l2_reg=l2_reg, w_mult=w_mult, maxupd=maxupd,
+        limit_step=limit_step, nnz_chunk=nnz_chunk, maxnfeval=maxnfeval,
+        return_passes=return_passes,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("maxupd", "limit_step", "w_mult", "maxnfeval"),
+    static_argnames=("maxupd", "limit_step", "w_mult", "maxnfeval",
+                     "return_passes"),
 )
+def _cg_update_ell_jit(
+    A_perm: jnp.ndarray,
+    planes,
+    ell: ell_ops.EllMatrix,
+    Bsum: jnp.ndarray,
+    *,
+    l2_reg: float,
+    w_mult: float,
+    maxupd: int,
+    limit_step: bool,
+    maxnfeval: int,
+    return_passes: bool,
+):
+    def fg(Acur):
+        return ell_ops.fg_ell(Acur, planes, ell, Bsum, l2_reg, w_mult)
+
+    def f_only(Acur):
+        return ell_ops.f_ell(Acur, planes, ell, Bsum, l2_reg, w_mult)
+
+    has_nnz = ell.row_nnz_perm > 0
+    x0 = jnp.where(has_nnz[:, None], A_perm, 0.0)
+    x, passes = _cg_core(
+        x0, has_nnz, fg, f_only,
+        maxupd=maxupd, limit_step=limit_step, maxnfeval=maxnfeval,
+    )
+    return (x, passes) if return_passes else x
+
+
 def cg_update_ell(
     A_perm: jnp.ndarray,
     planes,
@@ -227,19 +283,12 @@ def cg_update_ell(
     maxupd: int = 5,
     limit_step: bool = True,
     maxnfeval: int = CG_MAXNFEVAL,
-) -> jnp.ndarray:
+    return_passes: bool = False,
+):
     """CG iterations on the gather-free planar-ELL backend (permuted rows;
     ``planes`` from :func:`poismf_tpu.ops.ell.gather_planes`)."""
-
-    def fg(Acur):
-        return ell_ops.fg_ell(Acur, planes, ell, Bsum, l2_reg, w_mult)
-
-    def f_only(Acur):
-        return ell_ops.f_ell(Acur, planes, ell, Bsum, l2_reg, w_mult)
-
-    has_nnz = ell.row_nnz_perm > 0
-    x0 = jnp.where(has_nnz[:, None], A_perm, 0.0)
-    return _cg_core(
-        x0, has_nnz, fg, f_only,
+    return _cg_update_ell_jit(
+        A_perm, planes, ell, Bsum, l2_reg=l2_reg, w_mult=w_mult,
         maxupd=maxupd, limit_step=limit_step, maxnfeval=maxnfeval,
+        return_passes=return_passes,
     )

@@ -116,6 +116,11 @@ def _tncg_core(
             else has_nnz & jnp.isfinite(f0) & active_mask
         ),
         it=jnp.zeros((), dtype=jnp.int32),
+        # GLOBAL count of full plane/edge sweeps (every batched evaluation
+        # reads the whole data structure regardless of per-row activity) —
+        # the basis for the benchmark's achieved-bandwidth accounting.
+        # Init fgh = 1.
+        passes=jnp.ones((), dtype=jnp.float32),
     )
 
     def cond(s):
@@ -317,6 +322,14 @@ def _tncg_core(
         _, g_next, w2_next, diag_next = fgh(x_next)
         nfe = ls["nfeval"] + moved.astype(jnp.int32)
 
+        # sweeps this outer iteration: one per inner-CG HVP, one for the
+        # hoisted <B,d> (bdot), one per line-search trial, one for the
+        # f/g/Hessian refresh at the accepted point
+        passes = (
+            s["passes"] + cg["i"].astype(jnp.float32)
+            + ls["t"].astype(jnp.float32) + 2.0
+        )
+
         return dict(
             x=x_next,
             f=f_next,
@@ -326,6 +339,7 @@ def _tncg_core(
             nfeval=nfe,
             active=active_next,
             it=s["it"] + 1,
+            passes=passes,
         )
 
     out = lax.while_loop(cond, body, state0)
@@ -362,6 +376,7 @@ def _stats_dict(out) -> dict:
         outer_iters=out["it"], nfeval=out["nfeval"],
         still_active=jnp.sum(out["active"]),
         active=out["active"],
+        passes=out["passes"],
     )
 
 

@@ -36,6 +36,41 @@ from .solvers.pg import pg_update
 METHODS = ("tncg", "cg", "pg")
 
 
+# --------------------------------------------------------------------------
+# Bandwidth accounting (bench.py): when PASS_STATS is set to a list, the ELL
+# driver appends one entry per solver call / plane gather describing the HBM
+# traffic it caused:  (sweeps, bytes_per_sweep)  where ``sweeps`` is either a
+# host float (statically known) or a device scalar (the solver's global
+# full-sweep counter).  bench.py sums  sweeps * bytes_per_sweep  after the
+# timed fit to report achieved GB/s.  None (the default) disables all of it.
+# --------------------------------------------------------------------------
+PASS_STATS: Optional[list] = None
+
+
+def _ell_padded_nnz(ell) -> int:
+    return sum(b.n_rows * b.P for b in ell.buckets)
+
+
+def _sweep_bytes(padded_nnz: int, k: int, plane_itemsize: int) -> float:
+    """Bytes read per full evaluation sweep of one orientation: the bg plane
+    [k, P, R] plus the vals plane [P, R] (f32).  A model, not a measurement:
+    it ignores the [R, k] iterate/output traffic (~1/P of the planes) and
+    counts HVP/f_gtd auxiliary [P, R] planes as part of vals."""
+    return float(padded_nnz) * (k * plane_itemsize + 4.0)
+
+
+def _gather_bytes(ell, k: int, plane_itemsize: int) -> float:
+    """One plane gather: random-read of the fixed matrix rows (nnz * k * 4)
+    plus the linear write of the planes."""
+    return float(ell.nnz) * k * 4.0 + _ell_padded_nnz(ell) * k * float(
+        plane_itemsize
+    )
+
+
+def _plan_padded_nnz(ell, plan) -> int:
+    return sum(c * b.P for c, b in zip(plan.caps, ell.buckets))
+
+
 # The cascade round is deliberately THREE separate programs (build/solve/
 # scatter) rather than one: fusing the compaction gathers, the solver
 # while_loop and the write-back scatter into a single XLA program makes its
@@ -117,6 +152,15 @@ def _compact_round(
         jnp.ones((x_c.shape[0],), dtype=bool),
         l2_reg=l2_reg, w_mult=w_mult, maxupd=maxupd,
     )
+    if PASS_STATS is not None:
+        it = 2 if dtype_name == "bfloat16" else x_c.dtype.itemsize
+        padded = _plan_padded_nnz(ell, plan)
+        # the compact build gathers this round's planes from the parent's
+        # (already-device-resident) planes + edge data
+        PASS_STATS.append((1.0, 2.0 * padded * (x_c.shape[1] * it + 4.0)))
+        PASS_STATS.append(
+            (stats["passes"], _sweep_bytes(padded, x_c.shape[1], it))
+        )
     x_out = _compact_scatter(x_full, x_new, compact.perm,
                              compact.row_nnz_perm)
     return x_out, stats["active"]
@@ -367,6 +411,9 @@ def _run_poismf_ell(
     if p.plane_dtype is not None:
         plane_dtype = jnp.dtype(p.plane_dtype)
 
+    plane_it = (plane_dtype.itemsize if plane_dtype is not None
+                else A_p.dtype.itemsize)
+
     def half(target_p, fixed_p, ell, early_stop, step):
         # colsums over the full padded matrix are exact: padding/empty rows
         # are identically zero (poismf.c:512-514 + l1 shift)
@@ -375,26 +422,37 @@ def _run_poismf_ell(
         bsum_in = Bsum
         if p.w_mult != 1.0:
             bsum_in = ell_ops.adjusted_bsum_ell(planes, ell, Bsum, p.w_mult)
+        k = target_p.shape[1]
+        swb = _sweep_bytes(_ell_padded_nnz(ell), k, plane_it)
+        if PASS_STATS is not None:
+            PASS_STATS.append((1.0, _gather_bytes(ell, k, plane_it)))
         # (pg never reaches here on this layout: its whole epoch is the
         # fused single-program pg_epoch_ell)
         if p.method == "cg":
             from .solvers.cg import cg_update_ell
 
-            new = cg_update_ell(
+            out = cg_update_ell(
                 target_p, planes, ell, bsum_in,
                 l2_reg=p.l2_reg, w_mult=p.w_mult, maxupd=p.maxupd,
                 limit_step=p.limit_step,
+                return_passes=PASS_STATS is not None,
             )
-            return new, False
+            if PASS_STATS is not None:
+                out, passes = out
+                PASS_STATS.append((passes, swb))
+            return out, False
         from .solvers.tncg import tncg_update_ell
 
         aux = _ELL_AUX.get(id(ell))
         if not p.compact_tail or aux is None:
-            new, share = tncg_update_ell(
+            new, share, st = tncg_update_ell(
                 target_p, planes, ell, bsum_in,
                 l2_reg=p.l2_reg, w_mult=p.w_mult, maxupd=p.maxupd,
                 reuse_prev=p.reuse_prev, track_unchanged=early_stop,
+                return_stats=True,
             )
+            if PASS_STATS is not None:
+                PASS_STATS.append((st["passes"], swb))
             converged = (
                 bool(fetch_host(share) >= 0.95) if early_stop else False
             )
@@ -479,6 +537,8 @@ def _run_poismf_ell(
                                          else ROUND_ITERS)),
                         return_stats=True, active_mask=mask, **solver_kw,
                     )
+                    if PASS_STATS is not None:
+                        PASS_STATS.append((st["passes"], swb))
                     return x_out, st["active"]
 
                 if last:
@@ -527,6 +587,18 @@ def _run_poismf_ell(
                     dtype_name=(None if plane_dtype is None
                                 else str(np.dtype(plane_dtype))),
                 )
+                if PASS_STATS is not None:
+                    # pg is deterministic: per half, one plane gather +
+                    # maxupd gradient sweeps (pg_epoch_ell fuses both halves)
+                    k = A_p.shape[1]
+                    for ell in (ell_item, ell_user):
+                        PASS_STATS.append(
+                            (1.0, _gather_bytes(ell, k, plane_it))
+                        )
+                        PASS_STATS.append((
+                            float(p.maxupd),
+                            _sweep_bytes(_ell_padded_nnz(ell), k, plane_it),
+                        ))
                 step_size *= 0.5
             else:
                 if not converged_B:

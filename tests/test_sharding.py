@@ -104,6 +104,66 @@ def test_sharded_model_class(mesh):
     assert len(top) == 5
 
 
+def test_sharded_tncg_cascade_matches_and_shrinks(mesh):
+    """The sharded cascade path (compact_tail=True, the default) matches the
+    single-device cascade fit AND actually anneals: across the fit, rounds
+    run on shrinking structures (compact rounds appear / active counts drop),
+    so converged rows stop costing per-pass bandwidth on every device
+    (reference analog: per-row early exit, poismf.c:393-403)."""
+    from poismf_tpu.parallel import ell_mesh
+
+    by_user, by_item, A, B, (n_users, n_items, k) = _problem(
+        n_users=900, n_items=80
+    )
+    p = FitParams(k=k, method="tncg", l2_reg=1.0, niter=3, maxupd=150,
+                  reuse_prev=True, compact_tail=True, early_stop=False)
+
+    A1, B1, _ = run_poismf(A, B, by_user, by_item, p)
+
+    ell_mesh.CASCADE_TRACE = []
+    try:
+        A8, B8, _ = run_poismf_sharded(A, B, by_user, by_item, p, mesh)
+        trace = list(ell_mesh.CASCADE_TRACE)
+    finally:
+        ell_mesh.CASCADE_TRACE = None
+
+    assert trace, "cascade path did not engage"
+    # active rows shrink within at least one half-update's round sequence
+    assert any(
+        t_out < t_in for (_, _, t_in, t_out) in trace
+    ), trace
+    # compact structures are actually used once tails are small
+    assert any(s.startswith("compact/") for (_, s, _, _) in trace), trace
+
+    A8a = jnp.concatenate([
+        jnp.asarray(A8)[:n_users],
+        jnp.zeros((by_user.n_rows_pad - n_users, k)),
+    ])
+    ll1 = float(eval_llk(A1, B1, by_user))
+    ll8 = float(eval_llk(A8a, jnp.asarray(B8)[: by_item.n_rows_pad],
+                         by_user))
+    assert abs(ll1 - ll8) / abs(ll1) < 5e-2, (ll1, ll8)
+
+
+def test_sharded_tncg_cascade_early_stop(mesh):
+    """early_stop converges the sharded cascade fit without full-matrix
+    pulls; the fit still produces finite factors matching shapes."""
+    by_user, by_item, A, B, (n_users, n_items, k) = _problem()
+    p = FitParams(k=k, method="tncg", l2_reg=1.0, niter=10, maxupd=150,
+                  reuse_prev=True, compact_tail=True, early_stop=True)
+    A8, B8, status = run_poismf_sharded(A, B, by_user, by_item, p, mesh)
+    assert status == 0
+    assert np.all(np.isfinite(np.asarray(A8)))
+    ll = float(eval_llk(
+        jnp.concatenate([
+            jnp.asarray(A8)[:n_users],
+            jnp.zeros((by_user.n_rows_pad - n_users, k)),
+        ]),
+        jnp.asarray(B8)[: by_item.n_rows_pad], by_user,
+    ))
+    assert np.isfinite(ll)
+
+
 @pytest.mark.parametrize("method,kw,tol", [
     ("pg", dict(l2_reg=1.0, niter=4, maxupd=5, initial_step=1e-3), 1e-5),
     # CG's trajectory is reduction-order sensitive at non-converged points
