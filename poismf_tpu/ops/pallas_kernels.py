@@ -33,20 +33,27 @@ from jax.experimental.pallas import tpu as pltpu
 
 PRED_EPS = 1e-30
 
-# block sizes: R on lanes (multiples of 128), P on sublanes; sized so the
-# double-buffered bg block [k, TILE_P, TILE_R] stays well inside the ~16MB
-# scoped VMEM (bf16 planes afford 2x larger blocks)
-TILE_R = 256
-TILE_P = 64
+# Block policy (measured, scripts/kernel_sweep.py on v5e, k=50 bf16):
+# R on lanes (multiples of 128), P on sublanes.  Grid-step count is a real
+# cost (each step carries fixed DMA/loop overhead), so prefer the LARGEST
+# R tile whose bg block [k, TILE_P, tr] fits the byte budget — (tp=16,
+# tr=1024) measured f 335 / f_gtd 334 / hvp 323 GB/s vs 237-307 at the old
+# (64, 256), against a 601 GB/s practical ceiling (xla_sum of the same
+# bytes).  The budget keeps the double-buffered block + [k,tr] accumulators
+# well inside the 16 MB scoped VMEM for f32 planes too.
+TILE_R = 1024
+TILE_P = 16
+TILE_BYTES = 2 << 20
 
 
-def _tiles(P: int, Rb: int, itemsize: int = 4) -> Tuple[int, int]:
-    # P is a power of two; Rb a multiple of 128 — pick the largest tile
-    # sizes that DIVIDE the dims (grid uses exact division).  Larger R tiles
-    # for bf16 planes OOM the ~16MB scoped VMEM once double-buffered.
+def _tiles(P: int, Rb: int, k: int, itemsize: int = 4) -> Tuple[int, int]:
+    # P is a power of two; Rb a multiple of 128 — tile sizes must DIVIDE
+    # the dims (grid uses exact division).
     tp = min(P, TILE_P)
     tr = TILE_R
     while Rb % tr:
+        tr //= 2
+    while k * tp * tr * itemsize > TILE_BYTES and tr > 128:
         tr //= 2
     return tp, tr
 
@@ -93,7 +100,7 @@ def fgh_bucket(bg, vals, a_t, w_mult: float = 1.0, interpret: bool = False):
     (neg_llk [R], grad_data [k, R], diag_data [k, R], w2 [P, R]).
     """
     k, P, Rb = bg.shape
-    tp, tr = _tiles(P, Rb, bg.dtype.itemsize)
+    tp, tr = _tiles(P, Rb, k, bg.dtype.itemsize)
     grid = (Rb // tr, P // tp)
     out = pl.pallas_call(
         functools.partial(_fgh_kernel, w_mult),
@@ -156,7 +163,7 @@ def _fg_kernel(w_mult, bg_ref, vals_ref, at_ref, nll_ref, grad_ref):
 @functools.partial(jax.jit, static_argnames=("w_mult", "interpret"))
 def fg_bucket(bg, vals, a_t, w_mult: float = 1.0, interpret: bool = False):
     k, P, Rb = bg.shape
-    tp, tr = _tiles(P, Rb, bg.dtype.itemsize)
+    tp, tr = _tiles(P, Rb, k, bg.dtype.itemsize)
     grid = (Rb // tr, P // tp)
     out = pl.pallas_call(
         functools.partial(_fg_kernel, w_mult),
@@ -207,7 +214,7 @@ def _pg_kernel(bg_ref, vals_ref, at_ref, grad_ref):
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def pg_bucket(bg, vals, a_t, interpret: bool = False):
     k, P, Rb = bg.shape
-    tp, tr = _tiles(P, Rb, bg.dtype.itemsize)
+    tp, tr = _tiles(P, Rb, k, bg.dtype.itemsize)
     grid = (Rb // tr, P // tp)
     return pl.pallas_call(
         _pg_kernel,
@@ -250,7 +257,7 @@ def _f_kernel(bg_ref, vals_ref, at_ref, nll_ref):
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def f_bucket(bg, vals, a_t, interpret: bool = False):
     k, P, Rb = bg.shape
-    tp, tr = _tiles(P, Rb, bg.dtype.itemsize)
+    tp, tr = _tiles(P, Rb, k, bg.dtype.itemsize)
     grid = (Rb // tr, P // tp)
     out = pl.pallas_call(
         _f_kernel,
@@ -300,7 +307,7 @@ def _f_gtd_kernel(bg_ref, vals_ref, at_ref, bd_ref, nll_ref, gud_ref):
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def f_gtd_bucket(bg, vals, a_t, bd, interpret: bool = False):
     k, P, Rb = bg.shape
-    tp, tr = _tiles(P, Rb, bg.dtype.itemsize)
+    tp, tr = _tiles(P, Rb, k, bg.dtype.itemsize)
     grid = (Rb // tr, P // tp)
     nll, gud = pl.pallas_call(
         _f_gtd_kernel,
@@ -353,7 +360,7 @@ def _hvp_kernel(bg_ref, w2_ref, vt_ref, out_ref):
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def hvp_bucket(bg, w2, v_t, interpret: bool = False):
     k, P, Rb = bg.shape
-    tp, tr = _tiles(P, Rb, bg.dtype.itemsize)
+    tp, tr = _tiles(P, Rb, k, bg.dtype.itemsize)
     grid = (Rb // tr, P // tp)
     out = pl.pallas_call(
         _hvp_kernel,

@@ -1,0 +1,146 @@
+"""Tile-size / variant sweep for the Pallas bucket kernels (TPU).
+
+Each measurement runs the WHOLE dependent chain inside one jitted
+lax.fori_loop — one dispatch + one d2h fetch per timing, so host dispatch
+latency (1-core host, ~1-3 ms per eager op over the tunnel) cannot pollute
+per-call numbers.  The fetched scalar depends on every iteration, so the
+transport cannot fake completion.
+
+Usage: python scripts/kernel_sweep.py [k P Rb iters]
+"""
+
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+sys.path.insert(0, ".")
+from poismf_tpu.ops import pallas_kernels as pk  # noqa: E402
+
+
+def timed_loop(step, operands, a0, iters, salt):
+    """step(operands, a) -> a_next, all inside one jitted fori_loop."""
+
+    @jax.jit
+    def chain(operands, a, n):
+        def body(i, a):
+            return step(operands, a)
+
+        a = lax.fori_loop(0, n, body, a)
+        return jnp.sum(a)
+
+    out = float(chain(operands, a0 * np.float32(1 + salt), iters))  # compile
+    assert np.isfinite(out), out
+    t0 = time.time()
+    out = float(chain(operands, a0, iters))
+    dt = (time.time() - t0) / iters
+    assert np.isfinite(out), out
+    return dt
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    k, P, Rb, iters = (int(x) for x in (args + [50, 64, 131072, 20])[:4])
+
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    bg = jax.random.uniform(k1, (k, P, Rb), jnp.float32, 0.1, 1.0).astype(
+        jnp.bfloat16
+    )
+    vals = jnp.floor(
+        jax.random.uniform(k2, (P, Rb), jnp.float32, 1.0, 9.0)
+    )
+    a0 = jax.random.uniform(k3, (k, Rb), jnp.float32, 0.1, 1.0)
+    bd = jax.random.uniform(k4, (P, Rb), jnp.float32, -0.5, 0.5)
+    plane_gb = (bg.size * bg.dtype.itemsize + vals.size * 4) / 1e9
+    print(f"# [k={k} P={P} Rb={Rb}] plane {plane_gb * 1e3:.0f} MB; "
+          f"iters={iters}; peak 819 GB/s", flush=True)
+
+    def mix(a, out):
+        return 0.999 * a + 1e-4 * jnp.abs(out)
+
+    # ---- bandwidth ceiling reference: plain sum over the same bytes ----
+    def step_sum(ops, a):
+        bg, vals = ops
+        s = jnp.sum(bg.astype(jnp.float32)) + jnp.sum(vals)
+        return mix(a, s[None, None])
+
+    dt = timed_loop(step_sum, (bg, vals), a0, iters, 1e-3)
+    print(f"{'xla_sum (ceiling)':>22}: {dt * 1e3:7.2f} ms  "
+          f"{plane_gb / dt:6.0f} GB/s", flush=True)
+
+    # ---- jnp (pure XLA) kernel equivalents ----
+    def step_jnp_f(ops, a):
+        bg, vals = ops
+        pred = jnp.sum(bg.astype(jnp.float32) * a[:, None, :], axis=0)
+        logt = jnp.where(vals > 0, vals * jnp.log(pred), 0.0)
+        return mix(a, -jnp.sum(logt, axis=0)[None, :])
+
+    def step_jnp_fgh(ops, a):
+        bg, vals = ops
+        bgf = bg.astype(jnp.float32)
+        pred = jnp.sum(bgf * a[:, None, :], axis=0)
+        safe = jnp.maximum(pred, 1e-30)
+        w = jnp.where(vals > 0, vals / safe, 0.0)
+        w2 = jnp.where(vals > 0, vals / (safe * safe), 0.0)
+        logt = jnp.where(vals > 0, vals * jnp.log(safe), 0.0)
+        nll = -jnp.sum(logt, axis=0)
+        grad = -jnp.sum(w[None] * bgf, axis=1)
+        diag = jnp.sum(w2[None] * bgf * bgf, axis=1)
+        return mix(a, grad + diag + nll[None, :])
+
+    for name, fn in [("jnp_f", step_jnp_f), ("jnp_fgh", step_jnp_fgh)]:
+        try:
+            dt = timed_loop(fn, (bg, vals), a0, iters, 1e-3)
+            print(f"{name:>22}: {dt * 1e3:7.2f} ms  "
+                  f"{plane_gb / dt:6.0f} GB/s", flush=True)
+        except Exception as e:
+            print(f"{name:>22}: FAILED {str(e)[:90]}", flush=True)
+
+    # ---- pallas tile sweep ----
+    def step_f(ops, a):
+        bg, vals = ops
+        return mix(a, pk.f_bucket(bg, vals, a)[None, :])
+
+    def step_f_gtd(ops, a):
+        bg, vals, bd = ops
+        nll, gud = pk.f_gtd_bucket(bg, vals, a, bd)
+        return mix(a, (nll + gud)[None, :])
+
+    def step_fgh(ops, a):
+        bg, vals = ops
+        nll, g, d, w = pk.fgh_bucket(bg, vals, a)
+        return mix(a, g + d)
+
+    def step_hvp(ops, a):
+        bg, w2 = ops
+        return mix(a, pk.hvp_bucket(bg, w2, a))
+
+    for tile_r in (256, 512, 1024):
+        for tile_p in (8, 16, 32, 64):
+            if tile_p > P:
+                continue
+            pk.TILE_R, pk.TILE_P = tile_r, tile_p
+            jax.clear_caches()
+            out = []
+            for name, fn, ops in [
+                ("f", step_f, (bg, vals)),
+                ("f_gtd", step_f_gtd, (bg, vals, bd)),
+                ("fgh", step_fgh, (bg, vals)),
+                ("hvp", step_hvp, (bg, bd)),
+            ]:
+                try:
+                    dt = timed_loop(fn, ops, a0, iters, 1e-3)
+                    out.append(f"{name} {dt * 1e3:6.2f}ms "
+                               f"{plane_gb / dt:4.0f}GB/s")
+                except Exception:
+                    out.append(f"{name}   OOM/ERR   ")
+            print(f"tile_r={tile_r:4d} tile_p={tile_p:2d}  "
+                  + "   ".join(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -108,6 +108,7 @@ def run_poismf_reference(
     maxupd: int = 750,
     early_stop: bool = True,
     reuse_prev: bool = False,
+    nthreads: int = 1,
 ) -> int:
     """Run the reference C ``run_poismf`` (poismf.c:435-632) IN PLACE on
     float64 A [dimA,k], B [dimB,k] with SciPy CSR/CSC data.  Returns the C
@@ -136,5 +137,5 @@ def run_poismf_reference(
         _METHOD_ENUM[method],
         limit_step, numiter, maxupd,
         early_stop, reuse_prev,
-        True, 1,
+        True, nthreads,
     )

@@ -84,6 +84,41 @@ def test_adaptive_plan_fit_matches_uniform(rng, monkeypatch):
     train._ELL_AUX.clear()
 
 
+def test_pass_stats_accounting(rng):
+    """train.PASS_STATS collects (sweeps, bytes/sweep) entries over an ELL
+    fit, and the sweep counters are positive device scalars — the basis of
+    bench.py's achieved-GB/s reporting."""
+    rows, cols, vals = synth_counts(rng, n_users=200, n_items=60,
+                                    density=0.1)
+    bu, bi = build_both_orientations(rows, cols, vals, 200, 60)
+    r = np.random.default_rng(2)
+    k = 5
+    A0 = train.initialize_factors(200, bu.n_rows_pad, k, r, np.float32)
+    B0 = train.initialize_factors(60, bi.n_rows_pad, k, r, np.float32)
+    train._ELL_CACHE.clear()
+    train._ELL_AUX.clear()
+    try:
+        for method, niter in [("tncg", 2), ("cg", 2), ("pg", 2)]:
+            train.PASS_STATS = []
+            p = train.FitParams(k=k, method=method, niter=niter,
+                                l2_reg=10.0, maxupd=30)
+            train.run_poismf(A0, B0, bu, bi, p)
+            entries = train.PASS_STATS
+            assert entries, method
+            total = 0.0
+            for sweeps, bpp in entries:
+                assert bpp > 0
+                s = float(np.asarray(sweeps))
+                assert s >= 1.0, (method, s)
+                total += s * bpp
+            # sanity: total traffic exceeds one full sweep of the data
+            assert total > bu.nnz * k * 4, (method, total)
+    finally:
+        train.PASS_STATS = None
+        train._ELL_CACHE.clear()
+        train._ELL_AUX.clear()
+
+
 class _StallingOnce:
     """numpy-conversion target whose FIRST conversion hangs, later ones
     return — the shape of the tunnel's lost-read failure."""
