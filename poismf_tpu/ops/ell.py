@@ -923,7 +923,7 @@ def plan_compact_from_profile(
     ell: EllMatrix,
     per_bucket_active,
     margin: float = 2.0,
-    max_slot_frac: float = 0.6,
+    max_slot_frac: float = 0.7,
 ) -> Optional[CompactPlan]:
     """A compact plan sized from an OBSERVED per-bucket active-row profile
     (uniform-denominator plans reject tails whose stragglers cluster in one
@@ -938,10 +938,13 @@ def plan_compact_from_profile(
     cost = 0
     full_cost = 0
     for b, c in zip(ell.buckets, per_bucket_active):
-        cap = min(
-            b.n_rows,
-            _ceil_to(max(int(margin * int(c)), ROW_TILE), ROW_TILE),
-        )
+        want = max(int(margin * int(c)), ROW_TILE)
+        # quantize caps to power-of-two multiples of ROW_TILE: profiles
+        # drift a little between fits, and un-quantized caps would make
+        # every drift a NEW program set (compiled mid-timed-fit); snapped
+        # caps hit both the in-process jit cache and the persistent XLA
+        # cache across runs
+        cap = min(b.n_rows, ROW_TILE << max(0, (want - 1).bit_length() - 7))
         offsets.append(off)
         caps.append(cap)
         off += cap

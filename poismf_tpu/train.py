@@ -636,13 +636,15 @@ _ELL_CACHE: dict = {}
 _ELL_AUX: dict = {}
 
 
-# Compact capacity levels, tried smallest-first.  Two levels measured best
-# under the tunnel's compile-cost model (head-to-head at full scale:
-# (16,4) timed 68.6 s vs (8,) 71.6 s vs (16,4,2) +1 program set for <1 s):
-# steady-state ~2% tails solve at 1/16 of the full per-pass cost, mid-epoch
-# 10-25% tails at 1/4, and larger tails continue on the full structure
-# under the active mask (already compiled, no extra program).
-COMPACT_DENOMS = (16, 4)
+# Compact capacity levels, tried smallest-first.  Round-3 cascade logs
+# (POISMF_CASCADE_LOG on honest fingerprint-barrier timing) showed mid-fit
+# epochs spending 4-7 FULL-structure rounds on 10-40% active tails that
+# reject the /4 caps (stragglers cluster in the long-row buckets), so a /2
+# level joins the ladder: steady-state ~2% tails solve at 1/16 cost,
+# mid-epoch 10-25% tails at 1/4, 25-50% clustered tails at 1/2, and larger
+# tails continue on the full structure under the active mask (already
+# compiled, no extra program).
+COMPACT_DENOMS = (16, 4, 2)
 
 
 def _round_with_redispatch(round_fn, x_in, max_redispatch: int = 2):
@@ -738,51 +740,73 @@ def _bucket_active_counts(ell, aux, active):
 
 def _update_profile(ell, aux, active):
     active = np.asarray(active)
-    # only tails we would WANT compacted shape the plan: early-epoch
-    # rejections with half the rows active would blow the caps up to
-    # nearly the full structure
-    if int(np.count_nonzero(active)) > ell.n_rows_ell // 4:
+    n = ell.n_rows_ell
+    cnt = int(np.count_nonzero(active))
+    # only tails we would WANT compacted shape a plan: early-epoch
+    # rejections with most rows active would blow the caps up to nearly
+    # the full structure.  Profiles are kept in two SIZE CLASSES: folding a
+    # mid-fit 40%-of-rows rejection into the same max-profile as the tiny
+    # steady-state tails would push the single plan past the 60% cost gate
+    # and leave the small tails uncovered too (observed in round-3 cascade
+    # logs: the item side never regained an adaptive plan).
+    if cnt > n // 2:
         return
+    cls = "small" if cnt <= n // 6 else "mid"
     counts = _bucket_active_counts(ell, aux, active)
-    prof = aux.get("profile")
-    aux["profile"] = counts if prof is None else np.maximum(prof, counts)
+    profs = aux.setdefault("profiles", {})
+    prof = profs.get(cls)
+    profs[cls] = counts if prof is None else np.maximum(prof, counts)
 
 
-MAX_ADAPTIVE_REBUILDS = 3
+MAX_ADAPTIVE_REBUILDS = 3  # per size class
 
 
 def _maybe_build_adaptive_plan(ell, aux):
     """After half-updates whose tails the uniform-denominator plans rejected
     (per-bucket overflow — typically the slow-converging long-row heads),
-    add a plan sized 2x the observed rejection profile.  The profile
-    keeps growing as later epochs reject differently-shaped tails, so the
-    plan is REBUILT (bounded times) when outgrown; each build costs one
-    extra compiled program set per orientation and turns rejected rounds
-    (full-structure cost each) into fractional-cost compact rounds."""
+    add plans sized 2x the observed rejection profiles (one per size
+    class).  A profile keeps growing as later epochs reject
+    differently-shaped tails, so its plan is REBUILT (bounded times) when
+    outgrown; each build costs one extra compiled program set per
+    orientation and turns rejected rounds (full-structure cost each) into
+    fractional-cost compact rounds.  Caps are pow2-quantized
+    (plan_compact_from_profile), so profile drift between fits usually
+    lands on an already-compiled program."""
     import os as _os
 
     from .ops import ell as ell_ops
 
     if _os.environ.get("POISMF_ADAPTIVE_PLAN") == "0":
         return
-    prof = aux.get("profile")
-    if prof is None:
+    profs = aux.get("profiles")
+    if not profs:
         return
-    caps = aux.get("adaptive_caps")
-    if caps is not None and np.all(prof <= caps):
-        return  # current plan still covers every rejected tail seen
-    if aux.get("adaptive_rebuilds", 0) >= MAX_ADAPTIVE_REBUILDS:
-        return
-    plan = ell_ops.plan_compact_from_profile(ell, prof)
-    if plan is None:
-        return
-    aux["adaptive_rebuilds"] = aux.get("adaptive_rebuilds", 0) + 1
-    aux["adaptive_caps"] = np.asarray(plan.caps)
-    plans = [pl for pl in aux["plans"] if pl.denom != 0] + [plan]
-    plans.sort(key=lambda pl: sum(
-        c * b.P for c, b in zip(pl.caps, ell.buckets)
-    ))
-    aux["plans"] = plans
+    rebuilt = False
+    for cls, prof in profs.items():
+        caps = aux.get("adaptive_caps", {}).get(cls)
+        if caps is not None and np.all(prof <= caps):
+            continue  # current plan still covers every rejected tail seen
+        if aux.setdefault("adaptive_rebuilds", {}).get(cls, 0) >= \
+                MAX_ADAPTIVE_REBUILDS:
+            continue
+        plan = ell_ops.plan_compact_from_profile(ell, prof)
+        if plan is None:
+            continue
+        aux["adaptive_rebuilds"][cls] = (
+            aux["adaptive_rebuilds"].get(cls, 0) + 1
+        )
+        aux.setdefault("adaptive_caps", {})[cls] = np.asarray(plan.caps)
+        aux.setdefault("adaptive_plans", {})[cls] = plan
+        rebuilt = True
+    if rebuilt:
+        plans = (
+            [pl for pl in aux["plans"] if pl.denom != 0]
+            + list(aux.get("adaptive_plans", {}).values())
+        )
+        plans.sort(key=lambda pl: sum(
+            c * b.P for c, b in zip(pl.caps, ell.buckets)
+        ))
+        aux["plans"] = plans
 
 
 def _make_aux(ell):
