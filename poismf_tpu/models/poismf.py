@@ -31,6 +31,10 @@ from ..train import FitParams
 
 __all__ = ["PoisMF"]
 
+# predict() streams pair lists longer than this through fixed-size padded
+# chunks (one compiled program, bounded device memory)
+PREDICT_CHUNK = 4_194_304
+
 
 def _as_1d(x):
     return np.require(x, requirements=["ENSUREARRAY"]).reshape(-1)
@@ -292,13 +296,36 @@ class PoisMF:
         out = np.full(u.shape[0], np.nan, dtype=self.dtype)
         ok = ~bad
         if np.any(ok):
-            out[ok] = np.asarray(
-                serve.predict_pairs(
-                    self._A, self._B,
-                    jnp.asarray(u[ok].astype(np.int32)),
-                    jnp.asarray(it[ok].astype(np.int32)),
-                )
-            )
+            uu = u[ok].astype(np.int32)
+            ii = it[ok].astype(np.int32)
+            # stream very large pair lists through fixed-size chunks: one
+            # program (padded final chunk), bounded device memory, and no
+            # oversized single upload on slow links
+            CHUNK = PREDICT_CHUNK
+            if uu.shape[0] <= CHUNK:
+                vals = np.asarray(serve.predict_pairs(
+                    self._A, self._B, jnp.asarray(uu), jnp.asarray(ii)
+                ))
+            else:
+                parts = []
+                for s in range(0, uu.shape[0], CHUNK):
+                    cu = uu[s:s + CHUNK]
+                    ci = ii[s:s + CHUNK]
+                    if cu.shape[0] < CHUNK:  # pad -> reuse the compiled call
+                        pad = CHUNK - cu.shape[0]
+                        cu = np.concatenate([cu, np.zeros(pad, np.int32)])
+                        ci = np.concatenate([ci, np.zeros(pad, np.int32)])
+                        parts.append(np.asarray(serve.predict_pairs(
+                            self._A, self._B, jnp.asarray(cu),
+                            jnp.asarray(ci)
+                        ))[: CHUNK - pad])
+                    else:
+                        parts.append(np.asarray(serve.predict_pairs(
+                            self._A, self._B, jnp.asarray(cu),
+                            jnp.asarray(ci)
+                        )))
+                vals = np.concatenate(parts)
+            out[ok] = vals
         return out
 
     # ------------------------------------------------------------------ topN

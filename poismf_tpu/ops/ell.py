@@ -919,6 +919,20 @@ def plan_compact(ell: EllMatrix, denom: int = 8) -> CompactPlan:
     )
 
 
+def _ladder_ceil(want: int) -> int:
+    """Smallest member of the ROW_TILE-multiple ladder {128, 256, 384, 512,
+    768, 1024, 1536, ...} (1.5x spacing above 256) that is >= want."""
+    if want <= ROW_TILE:
+        return ROW_TILE
+    v = 2 * ROW_TILE
+    while v < want:
+        v3 = v + v // 2  # 1.5x, a ROW_TILE multiple for v >= 2*ROW_TILE
+        if v3 >= want:
+            return v3
+        v <<= 1
+    return v
+
+
 def plan_compact_from_profile(
     ell: EllMatrix,
     per_bucket_active,
@@ -939,12 +953,14 @@ def plan_compact_from_profile(
     full_cost = 0
     for b, c in zip(ell.buckets, per_bucket_active):
         want = max(int(margin * int(c)), ROW_TILE)
-        # quantize caps to power-of-two multiples of ROW_TILE: profiles
-        # drift a little between fits, and un-quantized caps would make
-        # every drift a NEW program set (compiled mid-timed-fit); snapped
-        # caps hit both the in-process jit cache and the persistent XLA
-        # cache across runs
-        cap = min(b.n_rows, ROW_TILE << max(0, (want - 1).bit_length() - 7))
+        # quantize caps to the {1, 1.5} x pow2 ladder of ROW_TILE (128,
+        # 192, 256, 384, 512, ...): profiles drift a little between fits,
+        # and un-quantized caps would make every drift a NEW program set
+        # (compiled mid-timed-fit); snapped caps hit both the in-process
+        # jit cache and the persistent XLA cache across runs, and the
+        # 1.5-step ladder overshoots the profile by <= 33% (a pure pow2
+        # ladder overshot 2x and pushed plans past the cost gate)
+        cap = min(b.n_rows, _ladder_ceil(want))
         offsets.append(off)
         caps.append(cap)
         off += cap

@@ -198,11 +198,14 @@ def factors_multiple(
             nnz_chunk=p.nnz_chunk,
         )
     else:  # tncg
+        # ftol=0: serving solves mirror the reference's f-rescaled ftol,
+        # which tightens toward zero near the optimum (tnc.c:720-746)
         A, _ = tncg_update(
             A0, B, X_new, bsum_in,
             l2_reg=p.l2_reg, w_mult=p.w_mult, maxupd=p.maxupd,
             reuse_prev=reuse_mean,  # reuse_mean=False -> 1e-3 init, like C
-            track_unchanged=False, nnz_chunk=p.nnz_chunk,
+            track_unchanged=False, nnz_chunk=p.nnz_chunk, ftol=0.0,
+            l2_in_f=True,
         )
     return A
 
@@ -254,7 +257,8 @@ def _factors_multiple_ell(
         A, _ = tncg_update_ell(
             A0, planes, ell, bsum_in,
             l2_reg=p.l2_reg, w_mult=p.w_mult, maxupd=p.maxupd,
-            reuse_prev=reuse_mean, track_unchanged=False,
+            reuse_prev=reuse_mean, track_unchanged=False, ftol=0.0,
+            l2_in_f=True,
         )
     out = ell_ops.permute_rows(A, ell.inv_perm)  # back to input row order
     return out
@@ -311,6 +315,7 @@ def factors_single(
     out, _ = tncg_update(
         A0, B, X1, bsum_pass,
         l2_reg=float(l2_reg), w_mult=float(w_mult), maxupd=int(maxupd),
-        reuse_prev=reuse_mean, track_unchanged=False,
+        reuse_prev=reuse_mean, track_unchanged=False, ftol=0.0,
+            l2_in_f=True,
     )
     return out[0]

@@ -88,6 +88,7 @@ def _tncg_core(
     x_prev_for_unchanged: Optional[jnp.ndarray],
     true_row_mask: Optional[jnp.ndarray] = None,
     active_mask: Optional[jnp.ndarray] = None,
+    ftol: float = TNC_FTOL,
 ):
     """Backend-agnostic batched truncated-Newton driver (see module doc).
 
@@ -199,6 +200,16 @@ def _tncg_core(
 
         cg = lax.while_loop(cg_cond, cg_body, cg0)
         d = jnp.where(fixed, 0.0, cg["d"])
+        # Project the direction into the feasible cone: a coordinate AT the
+        # bound whose Newton component points outward cannot move (the
+        # reference pivots it via addConstraint, tnc.c:1072-1108).  Without
+        # this, spe=0 collapses the step cap, trials clip that coordinate,
+        # and the measured directional derivative g(trial)@d (which uses the
+        # UNPROJECTED d) makes the strong-Wolfe test unsatisfiable -> bogus
+        # LSFAIL with a large gradient (found via the factors_single golden
+        # parity test: rows stopped at obj 120.67 vs the true optimum
+        # 119.13).
+        d = jnp.where((x <= 0.0) & (d < 0.0), 0.0, d)
 
         # fall back to steepest descent if CG returned junk or ascent
         gtd = jnp.sum(g * d, axis=1)
@@ -307,10 +318,15 @@ def _tncg_core(
         # tests are skipped on iterations where the bound-activity pattern
         # changed (newcon/remcon guard, tnc.c:906-907) so a row that just
         # hit or left a constraint keeps iterating on its new face.
+        # ftol=0 disables the f-test: the reference's f-rescaling machinery
+        # (tnc.c:720-746, fscale ~ 1/|g|) makes its effective ftol TIGHTEN
+        # toward zero as the gradient shrinks, so deep solves (cold-start
+        # factors, maxupd~1000) converge further than an absolute 1e-4
+        # would allow; serving paths pass 0 to match that depth
         difnew = f - f_next
         step_sq = jnp.sum((x_next - x) ** 2, axis=1)
         same_face = jnp.all((x_next <= 0.0) == (x <= 0.0), axis=1)
-        conv_f = moved & same_face & (jnp.abs(difnew) <= TNC_FTOL)
+        conv_f = moved & same_face & (jnp.abs(difnew) <= ftol)
         conv_x = moved & same_face & (jnp.sqrt(step_sq) <= xtol)
         ls_fail = active & ~moved  # LSFAIL -> terminate row
         budget = ls["nfeval"] >= maxupd
@@ -382,7 +398,7 @@ def _stats_dict(out) -> dict:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("maxupd", "w_mult", "nnz_chunk"),
+    static_argnames=("maxupd", "w_mult", "nnz_chunk", "ftol", "l2_in_f"),
 )
 def _tncg_update_jit(
     A: jnp.ndarray,
@@ -396,6 +412,8 @@ def _tncg_update_jit(
     w_mult: float,
     maxupd: int,
     nnz_chunk: Optional[int],
+    ftol: float = TNC_FTOL,
+    l2_in_f: bool = False,
 ):
     """Jitted COO backend: ``reuse_prev`` and ``max_outer`` are traced
     scalars so every outer-cap / init combination shares ONE program (the
@@ -405,16 +423,22 @@ def _tncg_update_jit(
     R, k = A.shape
     maxcg = _maxcgit(k)
 
-    # l2_in_f=False: the reference TNCG objective calc_fun_and_grad omits the
-    # l2 penalty from f while keeping 2*l2*a in g (poismf.c:242-273); the
-    # published tncg results depend on this weaker effective regularization
+    # l2_in_f=False (training default): the reference TNCG objective
+    # calc_fun_and_grad omits the l2 penalty from f while keeping 2*l2*a in
+    # g (poismf.c:242-273); the published tncg results depend on this weaker
+    # effective regularization.  Deep SERVING solves pass l2_in_f=True: the
+    # inconsistent pair makes the f-descent line search ill-posed (the
+    # g-field's Newton direction can be an ascent direction for f), while
+    # the consistent objective converges to the same optimum the reference
+    # empirically reaches (verified against scipy in the serving-parity
+    # tests).
     def fgh(Acur):
         return obj.poisson_fgh(Acur, B, X, Bsum, l2_reg, w_mult, nnz_chunk,
-                               l2_in_f=False)
+                               l2_in_f=l2_in_f)
 
     def f_gtd(trial, d, bd):
         return obj.poisson_f_gtd(trial, d, bd, B, X, Bsum, l2_reg, w_mult,
-                                 nnz_chunk, l2_in_f=False)
+                                 nnz_chunk, l2_in_f=l2_in_f)
 
     def bdot(d):
         return obj.poisson_bdot(d, B, X)
@@ -437,6 +461,7 @@ def _tncg_update_jit(
         x0, has_nnz, X.n_rows, fgh, f_gtd, hvp_with, bdot,
         maxupd=maxupd, max_outer=max_outer, maxcg=maxcg,
         x_prev_for_unchanged=jnp.where(has_nnz[:, None], A, 0.0),
+        ftol=ftol,
     )
     return x_final, share, _stats_dict(out)
 
@@ -455,6 +480,8 @@ def tncg_update(
     nnz_chunk: Optional[int] = None,
     max_outer: int = 0,
     return_stats: bool = False,
+    ftol: float = TNC_FTOL,
+    l2_in_f: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One TNCG pass over every row of A (B fixed), flat-COO backend.
 
@@ -469,6 +496,7 @@ def tncg_update(
         jnp.asarray(bool(reuse_prev)),
         jnp.asarray(_effective_max_outer(max_outer, maxupd), dtype=jnp.int32),
         l2_reg=l2_reg, w_mult=w_mult, maxupd=maxupd, nnz_chunk=nnz_chunk,
+        ftol=ftol, l2_in_f=l2_in_f,
     )
     if return_stats:
         return x_final, share, stats
@@ -482,7 +510,7 @@ def tncg_update(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("maxupd", "w_mult"),
+    static_argnames=("maxupd", "w_mult", "ftol", "l2_in_f"),
 )
 def _tncg_update_ell_jit(
     A_perm: jnp.ndarray,
@@ -496,6 +524,8 @@ def _tncg_update_ell_jit(
     l2_reg: float,
     w_mult: float,
     maxupd: int,
+    ftol: float = TNC_FTOL,
+    l2_in_f: bool = False,
 ):
     """Jitted ELL backend — one compiled program per (ELL shape, maxupd,
     w_mult): init mode, outer cap and row subset are all traced, so the
@@ -504,14 +534,15 @@ def _tncg_update_ell_jit(
     R, k = A_perm.shape
     maxcg = _maxcgit(k)
 
-    # l2_in_f=False: calc_fun_and_grad parity (see tncg_update above)
+    # l2_in_f: calc_fun_and_grad parity for training, consistent objective
+    # for deep serving solves (see _tncg_update_jit)
     def fgh(Acur):
         return ell_ops.fgh_ell(Acur, planes, ell, Bsum, l2_reg, w_mult,
-                               l2_in_f=False)
+                               l2_in_f=l2_in_f)
 
     def f_gtd(trial, d, bd):
         return ell_ops.f_gtd_ell(trial, d, bd, planes, ell, Bsum, l2_reg,
-                                 w_mult, l2_in_f=False)
+                                 w_mult, l2_in_f=l2_in_f)
 
     def bdot(d):
         return ell_ops.bdot_ell(d, planes, ell)
@@ -535,6 +566,7 @@ def _tncg_update_ell_jit(
         x_prev_for_unchanged=jnp.where(has_nnz[:, None], A_perm, 0.0),
         true_row_mask=has_nnz,  # ELL slots with nnz are exactly the true rows
         active_mask=active_mask,
+        ftol=ftol,
     )
     return x_final, share, _stats_dict(out)
 
@@ -553,6 +585,8 @@ def tncg_update_ell(
     max_outer: int = 0,
     return_stats: bool = False,
     active_mask: Optional[jnp.ndarray] = None,
+    ftol: float = TNC_FTOL,
+    l2_in_f: bool = False,
 ):
     """One TNCG pass over every (permuted) row, planar-ELL backend.
 
@@ -572,7 +606,8 @@ def tncg_update_ell(
         jnp.asarray(bool(reuse_prev)),
         jnp.asarray(_effective_max_outer(max_outer, maxupd), dtype=jnp.int32),
         active_mask,
-        l2_reg=l2_reg, w_mult=w_mult, maxupd=maxupd,
+        l2_reg=l2_reg, w_mult=w_mult, maxupd=maxupd, ftol=ftol,
+        l2_in_f=l2_in_f,
     )
     if return_stats:
         return x_final, share, stats

@@ -81,6 +81,31 @@ def load() -> Optional[ctypes.CDLL]:
         ctypes.c_bool, ctypes.c_bool,  # early_stop reuse_prev
         ctypes.c_bool, ctypes.c_int,   # handle_interrupt nthreads
     ]
+    lib.predict_multiple.restype = None
+    lib.predict_multiple.argtypes = [
+        dp, dp, dp,                  # out, A, B
+        stp, stp,                    # ixA, ixB
+        ctypes.c_size_t, ctypes.c_int, ctypes.c_int,  # n, k, nthreads
+    ]
+    lib.factors_multiple.restype = ctypes.c_int
+    lib.factors_multiple.argtypes = [
+        dp, dp, dp, dp,              # A, B, Bsum, Amean
+        dp, stp, stp,                # Xr, Xr_indptr, Xr_indices
+        ctypes.c_int, ctypes.c_size_t,  # k, dimA
+        ctypes.c_double, ctypes.c_double,  # l2_reg, w_mult
+        ctypes.c_double, ctypes.c_size_t, ctypes.c_size_t,  # step niter maxupd
+        ctypes.c_int, ctypes.c_bool, ctypes.c_bool,  # method limit_step reuse_mean
+        ctypes.c_int,                # nthreads
+    ]
+    lib.factors_single.restype = ctypes.c_int
+    lib.factors_single.argtypes = [
+        dp, ctypes.c_size_t,         # out, k
+        dp, ctypes.c_bool,           # Amean, reuse_mean
+        dp, stp, ctypes.c_size_t,    # X, X_ind, nnz
+        dp, dp,                      # B, Bsum
+        ctypes.c_int, ctypes.c_double,  # maxupd, l2_reg
+        ctypes.c_double, ctypes.c_double, ctypes.c_double,  # l1_new l1_old w_mult
+    ]
     _lib = lib
     return _lib
 
@@ -139,3 +164,76 @@ def run_poismf_reference(
         early_stop, reuse_prev,
         True, nthreads,
     )
+
+
+def predict_multiple_reference(A, B, ixA, ixB):
+    """Reference ``predict_multiple`` (pred.c:42-64): out[t] = <A[ixA], B[ixB]>."""
+    lib = load()
+    assert lib is not None
+    A = np.ascontiguousarray(A, dtype=np.float64)
+    B = np.ascontiguousarray(B, dtype=np.float64)
+    ixA = np.ascontiguousarray(ixA, dtype=np.uintp)
+    ixB = np.ascontiguousarray(ixB, dtype=np.uintp)
+    out = np.zeros(ixA.shape[0], dtype=np.float64)
+    lib.predict_multiple(
+        _ptr(out, ctypes.c_double), _ptr(A, ctypes.c_double),
+        _ptr(B, ctypes.c_double), _ptr(ixA, ctypes.c_size_t),
+        _ptr(ixB, ctypes.c_size_t), ixA.shape[0], A.shape[1], 1,
+    )
+    return out
+
+
+def factors_multiple_reference(
+    B, Bsum, Amean, csr, *, method, l2_reg, w_mult=1.0, step_size=1e-7,
+    niter, maxupd, limit_step=True, reuse_mean=True,
+):
+    """Reference ``factors_multiple`` (pred.c:66-199): batch out-of-sample
+    factors with B fixed; ``Bsum`` must already include the training l1."""
+    lib = load()
+    assert lib is not None
+    B = np.ascontiguousarray(B, dtype=np.float64)
+    Bsum = np.ascontiguousarray(Bsum, dtype=np.float64)
+    Amean = np.ascontiguousarray(Amean, dtype=np.float64)
+    dimA = csr.shape[0]
+    k = B.shape[1]
+    A = np.zeros((dimA, k), dtype=np.float64)
+    Xr = np.ascontiguousarray(csr.data, dtype=np.float64)
+    Xr_indptr = np.ascontiguousarray(csr.indptr, dtype=np.uintp)
+    Xr_indices = np.ascontiguousarray(csr.indices, dtype=np.uintp)
+    rc = lib.factors_multiple(
+        _ptr(A, ctypes.c_double), _ptr(B, ctypes.c_double),
+        _ptr(Bsum, ctypes.c_double), _ptr(Amean, ctypes.c_double),
+        _ptr(Xr, ctypes.c_double), _ptr(Xr_indptr, ctypes.c_size_t),
+        _ptr(Xr_indices, ctypes.c_size_t),
+        k, dimA, l2_reg, w_mult, step_size, niter, maxupd,
+        _METHOD_ENUM[method], limit_step, reuse_mean, 1,
+    )
+    assert rc == 0
+    return A
+
+
+def factors_single_reference(
+    B, Bsum, Amean, item_ix, counts, *, l2_reg, maxupd=1000,
+    l1_new=0.0, l1_old=0.0, w_mult=1.0, reuse_mean=True,
+):
+    """Reference ``factors_single`` (pred.c:201-304): one new row, always
+    via the TNC solver."""
+    lib = load()
+    assert lib is not None
+    B = np.ascontiguousarray(B, dtype=np.float64)
+    Bsum = np.ascontiguousarray(Bsum, dtype=np.float64)
+    Amean = np.ascontiguousarray(Amean, dtype=np.float64)
+    X = np.ascontiguousarray(counts, dtype=np.float64)
+    X_ind = np.ascontiguousarray(item_ix, dtype=np.uintp)
+    k = B.shape[1]
+    out = np.zeros(k, dtype=np.float64)
+    rc = lib.factors_single(
+        _ptr(out, ctypes.c_double), k,
+        _ptr(Amean, ctypes.c_double), reuse_mean,
+        _ptr(X, ctypes.c_double), _ptr(X_ind, ctypes.c_size_t),
+        X_ind.shape[0],
+        _ptr(B, ctypes.c_double), _ptr(Bsum, ctypes.c_double),
+        maxupd, l2_reg, l1_new, l1_old, w_mult,
+    )
+    assert rc == 0
+    return out

@@ -24,8 +24,8 @@ def test_plan_from_profile_caps_and_gate(rng):
     assert max(b.n_rows for b in ell.buckets) >= 2 * ell_ops.ROW_TILE
 
     # profile of 65 active rows per bucket: margin 2.0 -> want 130 ->
-    # pow2-quantized cap 256; a margin regression to 1.5 would give want 97
-    # -> cap 128, so the assertion detects it (in unclamped buckets)
+    # ladder-quantized cap 256; a margin regression to 1.5 would give want
+    # 97 -> cap 128, so the assertion detects it (in unclamped buckets)
     MARGIN = 2.0  # plan_compact_from_profile's default
     prof = np.full(nb, 65)
     plan = ell_ops.plan_compact_from_profile(ell, prof)
@@ -33,10 +33,7 @@ def test_plan_from_profile_caps_and_gate(rng):
     checked_unclamped = False
     for b, cap in zip(ell.buckets, plan.caps):
         want = max(int(MARGIN * 65), ell_ops.ROW_TILE)
-        expect = min(
-            b.n_rows,
-            ell_ops.ROW_TILE << max(0, (want - 1).bit_length() - 7),
-        )
+        expect = min(b.n_rows, ell_ops._ladder_ceil(want))
         assert cap == expect
         checked_unclamped |= expect < b.n_rows
     assert checked_unclamped

@@ -183,6 +183,26 @@ def test_repr(fitted):
     assert "fitted" in repr(model)
 
 
+def test_predict_streams_large_pair_lists(fitted, monkeypatch):
+    """Pair lists longer than PREDICT_CHUNK stream through padded chunks
+    and match the one-shot result (invalid ids still NaN)."""
+    from poismf_tpu.models import poismf as poismf_mod
+
+    model, df = fitted
+    rng = np.random.default_rng(3)
+    users = rng.choice(df["UserId"].unique(), size=1000)
+    items = rng.choice(df["ItemId"].unique(), size=1000)
+    one_shot = model.predict(users, items)
+    monkeypatch.setattr(poismf_mod, "PREDICT_CHUNK", 64)
+    chunked = model.predict(users, items)
+    np.testing.assert_allclose(chunked, one_shot, rtol=1e-6)
+    # invalid ids inside a chunked call
+    users2 = users.copy()
+    users2[5] = "no-such-user"
+    out = model.predict(users2, items)
+    assert np.isnan(out[5]) and np.isfinite(out[6])
+
+
 def test_checkpoint_persists_tpu_config(tmp_path):
     """layout / plane_dtype (the TPU-specific knobs) round-trip through a
     checkpoint, and the resolved FitParams of the reloaded model equal the
