@@ -211,17 +211,34 @@ def run_config(name, by_user, by_item, n_users, n_items, mesh=None,
             print(f"#   [{name}] epoch {epoch}: {marks[-1]-marks[-2]:.1f}s",
                   file=sys.stderr, flush=True)
 
-        if mesh is not None:
-            from poismf_tpu.parallel.mesh import run_poismf_sharded
+        def dispatch_fit():
+            if mesh is not None:
+                from poismf_tpu.parallel.mesh import run_poismf_sharded
 
-            A, B, _ = run_poismf_sharded(
-                A0, B0, by_user, by_item, params, mesh,
-                callback=cb if verbose else None,
-            )
-        else:
-            A, B, _ = run_poismf(A0, B0, by_user, by_item, params,
-                                 callback=cb if verbose else None)
-        fp = float(fetch_host(fingerprint(A, B)))
+                A, B, _ = run_poismf_sharded(
+                    A0, B0, by_user, by_item, params, mesh,
+                    callback=cb if verbose else None,
+                )
+            else:
+                A, B, _ = run_poismf(A0, B0, by_user, by_item, params,
+                                     callback=cb if verbose else None)
+            return A, B
+
+        # The transport occasionally loses an execution rpc (the result
+        # never lands); the fit is a pure function of host inputs and the
+        # transport memoizes completed executions, so re-dispatching is
+        # safe and nearly free when the work DID finish server-side.
+        from poismf_tpu.utils.transfer import FetchStalled
+
+        for attempt in range(3):
+            A, B = dispatch_fit()
+            try:
+                fp = float(fetch_host(fingerprint(A, B), give_up=attempt < 2))
+                break
+            except FetchStalled:
+                print(f"# [{name}] fit result never landed (attempt "
+                      f"{attempt + 1}); re-dispatching", file=sys.stderr,
+                      flush=True)
         dt = time.time() - t0
         stats = train_mod.PASS_STATS
         train_mod.PASS_STATS = None

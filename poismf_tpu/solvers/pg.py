@@ -167,30 +167,14 @@ def pg_update_ell(
     )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("maxupd", "w_mult", "dtype_name"),
-)
-def pg_epoch_ell(
-    A_perm: jnp.ndarray,
-    B_perm: jnp.ndarray,
-    ell_user: ell_ops.EllMatrix,
-    ell_item: ell_ops.EllMatrix,
-    l2_reg: jnp.ndarray,
-    step_size: jnp.ndarray,
-    l1_reg: jnp.ndarray,
-    *,
-    maxupd: int = 10,
-    w_mult: float = 1.0,
-    dtype_name: Optional[str] = None,
-) -> tuple:
-    """One FULL alternating PG epoch as a single program: B-half (colsums,
-    fixed-side plane gather, ``maxupd`` steps), the between-halves step
-    halving of poismf.c:532, then the A-half with the pre-halving proximal
-    divisor (poismf.c:511).  At the reference's tiny pg config (k=10,
-    maxupd=1) fixed per-dispatch costs dominate the math, so the whole epoch
-    rides one dispatch; ``step_size`` is traced so all epochs share the
-    program.  Returns ``(A_perm, B_perm)``."""
+def _pg_epoch_core(
+    A_perm, B_perm, ell_user, ell_item, l2_reg, step_size, l1_reg,
+    maxupd, w_mult, dtype_name,
+):
+    """Traced body of one alternating PG epoch: B-half (colsums, fixed-side
+    plane gather, ``maxupd`` steps), the between-halves step halving of
+    poismf.c:532, then the A-half with the pre-halving proximal divisor
+    (poismf.c:511)."""
     # --- B half: optimize items against fixed A ---
     bsum_a = jnp.sum(A_perm, axis=0) + l1_reg
     planes_a = ell_ops.gather_planes(A_perm, ell_item, dtype_name)
@@ -215,3 +199,36 @@ def pg_epoch_ell(
         maxupd, w_mult,
     )
     return A_new, B_new
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("maxupd", "w_mult", "dtype_name"),
+)
+def pg_epoch_ell(
+    A_perm: jnp.ndarray,
+    B_perm: jnp.ndarray,
+    ell_user: ell_ops.EllMatrix,
+    ell_item: ell_ops.EllMatrix,
+    l2_reg: jnp.ndarray,
+    step_size: jnp.ndarray,
+    l1_reg: jnp.ndarray,
+    *,
+    maxupd: int = 10,
+    w_mult: float = 1.0,
+    dtype_name: Optional[str] = None,
+) -> tuple:
+    """One FULL alternating PG epoch as a single program.  At the
+    reference's tiny pg config (k=10, maxupd=1) fixed per-dispatch costs
+    dominate the math, so the whole epoch rides one dispatch; ``step_size``
+    is traced so all epochs share the program.  Returns
+    ``(A_perm, B_perm)``.
+
+    (Fusing ALL epochs into one program was tried and measured 2.4x SLOWER
+    than per-epoch dispatches in the same tunnel window — the async
+    dispatch queue hides per-epoch latency and XLA schedules the fused
+    multi-epoch loop worse — so one-epoch-per-dispatch is the keeper.)"""
+    return _pg_epoch_core(
+        A_perm, B_perm, ell_user, ell_item, l2_reg, step_size, l1_reg,
+        maxupd, w_mult, dtype_name,
+    )
