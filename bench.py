@@ -200,8 +200,6 @@ def run_config(name, by_user, by_item, n_users, n_items, mesh=None,
         B0 = initialize_factors_device(
             n_items, by_item.n_rows_pad, cfg["k"], seed + 7919
         )
-        if mesh is None:
-            train_mod.PASS_STATS = []
         t0 = time.time()
         marks = [t0]
 
@@ -231,6 +229,11 @@ def run_config(name, by_user, by_item, n_users, n_items, mesh=None,
         from poismf_tpu.utils.transfer import FetchStalled
 
         for attempt in range(3):
+            if mesh is None:
+                # reset per attempt: a re-dispatched fit would otherwise
+                # append a second full set of traffic entries (the repeated
+                # work is memoized server-side, so no real bytes moved)
+                train_mod.PASS_STATS = []
             A, B = dispatch_fit()
             try:
                 fp = float(fetch_host(fingerprint(A, B), give_up=attempt < 2))

@@ -953,12 +953,12 @@ def plan_compact_from_profile(
     full_cost = 0
     for b, c in zip(ell.buckets, per_bucket_active):
         want = max(int(margin * int(c)), ROW_TILE)
-        # quantize caps to the {1, 1.5} x pow2 ladder of ROW_TILE (128,
-        # 192, 256, 384, 512, ...): profiles drift a little between fits,
+        # quantize caps to the ROW_TILE-multiple ladder {128, 256, 384,
+        # 512, 768, ...}: profiles drift a little between fits,
         # and un-quantized caps would make every drift a NEW program set
         # (compiled mid-timed-fit); snapped caps hit both the in-process
         # jit cache and the persistent XLA cache across runs, and the
-        # 1.5-step ladder overshoots the profile by <= 33% (a pure pow2
+        # 1.5-step ladder overshoots the profile by <= 50% above 256 (a pure pow2
         # ladder overshot 2x and pushed plans past the cost gate)
         cap = min(b.n_rows, _ladder_ceil(want))
         offsets.append(off)

@@ -32,10 +32,11 @@ from .mesh import AXIS, _ceil_to, pad_rows_for_mesh
 
 ROW_TILE = ell_ops.ROW_TILE
 
-# When set to a list (by tests / POISMF_CASCADE_LOG), the sharded tncg
-# cascade appends one (round, structure, active_in, active_out) tuple per
-# round — the observability hook proving that passes shrink after rows
-# converge, like the single-chip cascade.
+# When set to a list (by tests), the sharded tncg cascade appends one
+# (round, structure, active_in, active_out) tuple per round — the
+# observability hook proving that passes shrink after rows converge, like
+# the single-chip cascade.  POISMF_CASCADE_LOG=1 independently prints one
+# stderr line per round.
 CASCADE_TRACE: Optional[list] = None
 
 
@@ -342,6 +343,70 @@ def _src_specs(srcs):
     return tuple(P() if s is None else P(AXIS, None) for s in srcs)
 
 
+def _update_se_profile(se: ShardedEll, aux: dict, active) -> None:
+    """Record the per-bucket shape of a rejected tail (MAX over devices —
+    shard_map needs shared static capacities).  Mirrors
+    train._update_profile's size-class split."""
+    n = se.n_slots
+    cnt = int(np.count_nonzero(active))
+    if cnt > n // 2:
+        return
+    cls = "small" if cnt <= n // 6 else "mid"
+    counts = np.zeros(len(se.Ps), dtype=np.int64)
+    for d in range(se.n_shards):
+        for li, (off, rb) in enumerate(zip(se.offsets, se.Rbs)):
+            src = aux["srcs"][li]
+            if src is None:
+                c = int(np.count_nonzero(active[d, off:off + rb]))
+            else:
+                c = int(np.count_nonzero(active[d][src[d]]))
+            counts[li] = max(counts[li], c)
+    profs = aux.setdefault("profiles", {})
+    prof = profs.get(cls)
+    profs[cls] = counts if prof is None else np.maximum(prof, counts)
+
+
+def _maybe_build_se_adaptive_plans(se: ShardedEll, aux: dict) -> None:
+    """Sharded twin of train._maybe_build_adaptive_plan: per size class,
+    build a compact plan sized to the recorded rejection profile (shared
+    caps across devices), bounded rebuilds, ladder-quantized caps."""
+    import os as _os
+
+    from .. import train as train_mod
+
+    if _os.environ.get("POISMF_ADAPTIVE_PLAN") == "0":
+        return
+    profs = aux.get("profiles")
+    if not profs:
+        return
+    rebuilt = False
+    for cls, prof in profs.items():
+        caps = aux.get("adaptive_caps", {}).get(cls)
+        if caps is not None and np.all(prof <= caps):
+            continue
+        if aux.setdefault("adaptive_rebuilds", {}).get(cls, 0) >= \
+                train_mod.MAX_ADAPTIVE_REBUILDS:
+            continue
+        plan = ell_ops.plan_compact_from_profile(aux["meta"], prof)
+        if plan is None:
+            continue
+        aux["adaptive_rebuilds"][cls] = (
+            aux["adaptive_rebuilds"].get(cls, 0) + 1
+        )
+        aux.setdefault("adaptive_caps", {})[cls] = np.asarray(plan.caps)
+        aux.setdefault("adaptive_plans", {})[cls] = plan
+        rebuilt = True
+    if rebuilt:
+        plans = (
+            [pl for pl in aux["plans"] if pl.denom != 0]
+            + list(aux.get("adaptive_plans", {}).values())
+        )
+        plans.sort(key=lambda pl: sum(
+            c * Pw for c, Pw in zip(pl.caps, se.Ps)
+        ))
+        aux["plans"] = plans
+
+
 def sharded_tncg_cascade_half(
     mesh: Mesh,
     p: FitParams,
@@ -363,6 +428,11 @@ def sharded_tncg_cascade_half(
     D = se.n_shards
     plane_dtype = None if p.plane_dtype is None else jnp.dtype(p.plane_dtype)
     dtype_name = None if plane_dtype is None else str(np.dtype(plane_dtype))
+
+    # fold any rejection profiles from previous half-updates into adaptive
+    # compact plans (one extra compiled program set per build, shared caps
+    # across devices)
+    _maybe_build_se_adaptive_plans(se, aux)
 
     Bsum = (jnp.sum(fixed, axis=0) + p.l1_reg).astype(target.dtype)
 
@@ -438,6 +508,13 @@ def sharded_tncg_cascade_half(
     round0_iters = 3
     unbounded = max(4, p.maxupd // 3)
     n_slots = se.n_slots
+    import os as _os
+    import time as _time
+
+    from ..train import _round_with_redispatch
+
+    log_env = bool(_os.environ.get("POISMF_CASCADE_LOG"))
+    t_last = [_time.time()]
 
     x = x0
     active = None  # host [D, n_slots] bool; None = all rows (first round)
@@ -460,6 +537,11 @@ def sharded_tncg_cascade_half(
                 if per_dev is not None:
                     sel = per_dev
                     break
+            if sel is None:
+                # rejected tail: record its per-device/bucket shape so the
+                # next half-update can add a right-sized adaptive plan
+                # (mirrors train._update_profile)
+                _update_se_profile(se, aux, active)
         n_in = D * n_slots if active is None else int(
             np.count_nonzero(active)
         )
@@ -477,19 +559,23 @@ def sharded_tncg_cascade_half(
             )
             slot_map_h = np.stack([s[2] for s in sel])  # [D, n_slots_c]
             row_nnz_c = jnp.asarray(np.stack([s[3] for s in sel]))
-            x, act_c = compact_round_fn(plan)(
-                jnp.asarray(unbounded if last else ROUND_ITERS,
-                            dtype=jnp.int32),
-                x, fixed, Bsum, bsum2d,
-                sels, src_cs, jnp.asarray(slot_map_h), row_nnz_c,
-                *ell_args,
-            )
+
+            def round_compact(x_in):
+                return compact_round_fn(plan)(
+                    jnp.asarray(unbounded if last else ROUND_ITERS,
+                                dtype=jnp.int32),
+                    x_in, fixed, Bsum, bsum2d,
+                    sels, src_cs, jnp.asarray(slot_map_h), row_nnz_c,
+                    *ell_args,
+                )
+
             if last:
+                x, _ = round_compact(x)
                 act_next = None
             else:
-                act_c = np.asarray(
-                    fetch_host(act_c)
-                ).reshape(D, plan.n_slots)
+                # re-dispatch on lost execution rpcs, like single-chip
+                x, act_c = _round_with_redispatch(round_compact, x)
+                act_c = np.asarray(act_c).reshape(D, plan.n_slots)
                 act_next = np.zeros((D, n_slots), dtype=bool)
                 for d in range(D):
                     sm = slot_map_h[d]
@@ -501,38 +587,58 @@ def sharded_tncg_cascade_half(
                 np.ones((D, n_slots), dtype=bool) if active is None
                 else active
             )
-            x, act = full_round(
-                jnp.asarray(bool(p.reuse_prev) if rnd == 0 else True),
-                jnp.asarray(unbounded if last
-                            else (round0_iters if rnd == 0 else ROUND_ITERS),
-                            dtype=jnp.int32),
-                x, jnp.asarray(mask.reshape(-1)), Bsum, bsum2d, planes,
-                *ell_args,
-            )
-            act_next = (
-                None if last
-                else np.asarray(fetch_host(act)).reshape(D, n_slots)
-            )
+
+            def round_full(x_in):
+                return full_round(
+                    jnp.asarray(bool(p.reuse_prev) if rnd == 0 else True),
+                    jnp.asarray(unbounded if last
+                                else (round0_iters if rnd == 0
+                                      else ROUND_ITERS),
+                                dtype=jnp.int32),
+                    x_in, jnp.asarray(mask.reshape(-1)), Bsum, bsum2d,
+                    planes, *ell_args,
+                )
+
+            if last:
+                x, _ = round_full(x)
+                act_next = None
+            else:
+                x, act = _round_with_redispatch(round_full, x)
+                act_next = np.asarray(act).reshape(D, n_slots)
             structure = "full"
+        n_out = 0 if act_next is None else int(np.count_nonzero(act_next))
         if CASCADE_TRACE is not None:
-            CASCADE_TRACE.append((
-                rnd, structure, n_in,
-                0 if act_next is None else int(np.count_nonzero(act_next)),
-            ))
+            CASCADE_TRACE.append((rnd, structure, n_in, n_out))
+        if log_env:
+            import sys as _sys
+
+            now = _time.time()
+            print(
+                f"#   sh-cascade[{se.n_rows}r x{D}d] rnd {rnd} "
+                f"{structure:>10} {'final ' if last else ''}{n_in} -> "
+                f"{n_out} active ({now - t_last[0]:.2f}s)",
+                file=_sys.stderr, flush=True,
+            )
+            t_last[0] = now
         if act_next is None or not act_next.any():
             break
         active = act_next
 
     converged = False
     if early_stop:
+        from ..utils.transfer import FetchStalled
+
         has = se.row_nnz.reshape(-1) > 0
         delta = x - x0
         small = jnp.sum(
             (jnp.sum(delta * delta, axis=1) <= 1e-4) & has
         )
-        converged = (
-            float(fetch_host(small)) / max(se.n_rows, 1)
-        ) >= 0.95
+        try:
+            converged = (
+                float(fetch_host(small, give_up=True)) / max(se.n_rows, 1)
+            ) >= 0.95
+        except FetchStalled:
+            converged = False  # lost read on a diagnostic: not-converged
 
     return progs["unperm"](x, se.inv_perm), converged
 
@@ -598,9 +704,7 @@ def sharded_half_update_ell(
     plane_dtype = None if p.plane_dtype is None else jnp.dtype(p.plane_dtype)
     body = functools.partial(_local_update_ell, p, se, plane_dtype)
 
-    src_specs = tuple(
-        P() if s is None else P(AXIS, None) for s in se.srcs
-    )
+    src_specs = _src_specs(se.srcs)
     fn = jax.shard_map(
         body,
         mesh=mesh,

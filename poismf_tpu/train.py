@@ -660,7 +660,12 @@ def _round_with_redispatch(round_fn, x_in, max_redispatch: int = 2):
 
     import sys as _sys
 
+    mark = None if PASS_STATS is None else len(PASS_STATS)
     for attempt in range(max_redispatch + 1):
+        if mark is not None:
+            # a re-dispatched round's work is memoized server-side: drop
+            # the duplicate traffic entries so achieved-GB/s stays honest
+            del PASS_STATS[mark:]
         x_out, act = round_fn(x_in)
         try:
             return x_out, fetch_host(act, give_up=True)

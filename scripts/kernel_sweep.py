@@ -124,6 +124,16 @@ def main():
             if tile_p > P:
                 continue
             pk.TILE_R, pk.TILE_P = tile_r, tile_p
+            # lift the production byte budget so the sweep actually explores
+            # the labeled tile (otherwise _tiles silently clamps tr and
+            # different rows measure the same block)
+            pk.TILE_BYTES = 1 << 30
+            tp_eff, tr_eff = pk._tiles(P, Rb, k, bg.dtype.itemsize)
+            if (tp_eff, tr_eff) != (tile_p, tile_r):
+                print(f"tile_r={tile_r:4d} tile_p={tile_p:2d}  -> actual "
+                      f"({tp_eff},{tr_eff}), skipping duplicate",
+                      flush=True)
+                continue
             jax.clear_caches()
             out = []
             for name, fn, ops in [
