@@ -183,6 +183,14 @@ def run_config(name, by_user, by_item, n_users, n_items, mesh=None,
     fingerprint = jax.jit(
         lambda A, B: jnp.sum(A * A) + 2.0 * jnp.sum(B * B)
     )
+    # Init-distinctness witness over a SMALL slice: a full-matrix sum of
+    # ~18M near-identical init values puts the seed-to-seed difference
+    # (~1e-6 relative) below f32 resolution, so distinct seeds collided
+    # (observed: two inits both fingerprinting 3158859.0).  Over 128 rows
+    # the seed noise is ~2000x the float quantum.
+    fingerprint_init = jax.jit(
+        lambda A, B: jnp.sum(A[:128]) + 2.0 * jnp.sum(B[:128])
+    )
 
     def fresh_fit(seed):
         # Every fit starts from a DIFFERENT init (and, unless
@@ -251,7 +259,7 @@ def run_config(name, by_user, by_item, n_users, n_items, mesh=None,
         # (pg's final factors can legitimately collide: l2=1e9 collapses
         # different inits to the same fixed point, so fp alone is not a
         # distinctness witness there)
-        fp0 = float(fetch_host(fingerprint(A0, B0)))
+        fp0 = float(fetch_host(fingerprint_init(A0, B0)))
         return dt, A, B, A0, B0, (fp0, fp), fit_bytes
 
     base = os.environ.get("POISMF_BENCH_SEED")
@@ -261,18 +269,32 @@ def run_config(name, by_user, by_item, n_users, n_items, mesh=None,
     print(f"# [{name}] warmup fit (incl. compile): {warm_s:.1f}s",
           file=sys.stderr, flush=True)
 
+    # Freeze the cascade's adaptive-plan set after warmup: a timed fit
+    # whose tail profile slightly outgrows the warmup's caps would
+    # otherwise compile a new program set MID-FIT (~25 s on the remote
+    # compiler, observed as an 80 s first timed fit).  Frozen plans at
+    # worst fall back to already-compiled full-structure rounds — the
+    # steady state a production service would run in.
+    adaptive_preset = os.environ.get("POISMF_ADAPTIVE_PLAN")
+    if adaptive_preset is None:
+        os.environ["POISMF_ADAPTIVE_PLAN"] = "0"
+
     times, fps, gbss = [], [warm_fp], []
     A = B = A0 = B0 = None
-    for r in range(N_REPEATS):
-        fit_s, A, B, A0, B0, fp, fit_bytes = fresh_fit(base + 1 + r)
-        times.append(fit_s)
-        fps.append(fp)
-        if fit_bytes:
-            gbss.append(fit_bytes / 1e9 / fit_s)
-        print(f"# [{name}] timed fit {r + 1}/{N_REPEATS}: {fit_s:.1f}s"
-              + (f"  ({gbss[-1]:.0f} GB/s of {PEAK_GBS:.0f} peak)"
-                 if fit_bytes else ""),
-              file=sys.stderr, flush=True)
+    try:
+        for r in range(N_REPEATS):
+            fit_s, A, B, A0, B0, fp, fit_bytes = fresh_fit(base + 1 + r)
+            times.append(fit_s)
+            fps.append(fp)
+            if fit_bytes:
+                gbss.append(fit_bytes / 1e9 / fit_s)
+            print(f"# [{name}] timed fit {r + 1}/{N_REPEATS}: {fit_s:.1f}s"
+                  + (f"  ({gbss[-1]:.0f} GB/s of {PEAK_GBS:.0f} peak)"
+                     if fit_bytes else ""),
+                  file=sys.stderr, flush=True)
+    finally:
+        if adaptive_preset is None:
+            os.environ.pop("POISMF_ADAPTIVE_PLAN", None)
 
     floor_s = floor_seconds(name, by_user.nnz)
     fp0s = [f[0] for f in fps]
