@@ -269,6 +269,16 @@ def run_config(name, by_user, by_item, n_users, n_items, mesh=None,
     print(f"# [{name}] warmup fit (incl. compile): {warm_s:.1f}s",
           file=sys.stderr, flush=True)
 
+    # Plans built from the warmup's rejection profiles (often in its last
+    # epochs) would otherwise pay their first-use compile INSIDE the first
+    # timed fit (~25 s observed); compile them now with zero-data dummy
+    # rounds.
+    if mesh is None:
+        warmed = train_mod.warm_compact_plans(by_user, by_item, params)
+        if warmed:
+            print(f"# [{name}] pre-compiled {warmed} cascade plan(s)",
+                  file=sys.stderr, flush=True)
+
     # Freeze the cascade's adaptive-plan set after warmup: a timed fit
     # whose tail profile slightly outgrows the warmup's caps would
     # otherwise compile a new program set MID-FIT (~25 s on the remote

@@ -835,6 +835,68 @@ def _make_aux(ell):
     )
 
 
+def warm_compact_plans(by_user: CountsMatrix, by_item: CountsMatrix,
+                       params: FitParams) -> int:
+    """Compile every cascade plan's compact-round programs ahead of time.
+
+    A plan built late in one fit (from its rejection profiles) is often
+    first USED early in the next fit, paying its ~10-25 s remote compile
+    inside that fit.  This dispatches one zero-data dummy round per
+    not-yet-compiled plan (row_nnz all zero -> the solver's while_loop exits
+    immediately, so the cost is compile-only).  Returns the number of plans
+    warmed.  No-op for non-tncg methods or unknown data."""
+    p = params.resolved()
+    if p.method != "tncg" or p.layout != "ell" or p.w_mult != 1.0:
+        return 0
+    key = tuple(id(a) for a in (
+        by_user.row_ids, by_user.col_ids, by_user.vals,
+        by_item.row_ids, by_item.col_ids, by_item.vals,
+    ))
+    entry = _ELL_CACHE.get(key)
+    if entry is None:
+        return 0
+    ell_user, ell_item = entry[0]
+    plane_dtype = None if p.plane_dtype is None else np.dtype(p.plane_dtype)
+    dtype_name = None if plane_dtype is None else str(plane_dtype)
+    n_warmed = 0
+    for ell, fixed_ell in ((ell_user, ell_item), (ell_item, ell_user)):
+        aux = _ELL_AUX.get(id(ell))
+        if aux is None:
+            continue
+        warmed = aux.setdefault("warmed_plans", set())
+        for plan in aux["plans"]:
+            if id(plan) in warmed:
+                continue
+            sels, src_cs = [], []
+            for b, cap in zip(ell.buckets, plan.caps):
+                n = min(cap, b.n_rows)
+                sel = np.full(cap, b.n_rows, dtype=np.int32)
+                sel[:n] = np.arange(n, dtype=np.int32)
+                sels.append(sel)
+                src_cs.append(
+                    None if b.src is None
+                    else np.full(cap, plan.n_slots - 1, dtype=np.int32)
+                )
+            slot_map = np.full(plan.n_slots, ell.n_rows_ell - 1,
+                               dtype=np.int32)
+            row_nnz_c = np.zeros(plan.n_slots, dtype=np.int32)
+            x_full = jnp.zeros((ell.n_rows_ell, p.k), dtype=jnp.float32)
+            fixed_p = jnp.zeros((fixed_ell.n_rows_ell, p.k),
+                                dtype=jnp.float32)
+            bsum = jnp.zeros((p.k,), dtype=jnp.float32)
+            out, _ = _compact_round(
+                x_full, fixed_p, ell, bsum,
+                tuple(sels), tuple(src_cs), slot_map, row_nnz_c,
+                p.l2_reg, jnp.asarray(1, dtype=jnp.int32),
+                plan=plan, dtype_name=dtype_name,
+                maxupd=p.maxupd, w_mult=p.w_mult,
+            )
+            jax.block_until_ready(out)
+            warmed.add(id(plan))
+            n_warmed += 1
+    return n_warmed
+
+
 def ell_pair_cached(by_user: CountsMatrix, by_item: CountsMatrix):
     from .ops import ell as ell_ops
 

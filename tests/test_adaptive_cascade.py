@@ -84,6 +84,30 @@ def test_adaptive_plan_fit_matches_uniform(rng, monkeypatch):
     train._ELL_AUX.clear()
 
 
+def test_warm_compact_plans(rng):
+    """After a fit, warm_compact_plans dispatches one dummy round per plan
+    (compiling them ahead of the next fit) and is idempotent."""
+    rows, cols, vals = synth_counts(rng, n_users=400, n_items=80,
+                                    density=0.1)
+    bu, bi = build_both_orientations(rows, cols, vals, 400, 80)
+    r = np.random.default_rng(4)
+    k = 5
+    A0 = train.initialize_factors(400, bu.n_rows_pad, k, r, np.float32)
+    B0 = train.initialize_factors(80, bi.n_rows_pad, k, r, np.float32)
+    p = train.FitParams(k=k, method="tncg", niter=2, l2_reg=10.0, maxupd=40)
+    train._ELL_CACHE.clear()
+    train._ELL_AUX.clear()
+    A1, B1, _ = train.run_poismf(A0, B0, bu, bi, p)
+    n = train.warm_compact_plans(bu, bi, p)
+    assert n > 0
+    assert train.warm_compact_plans(bu, bi, p) == 0  # idempotent
+    # warming must not corrupt subsequent fits
+    A2, B2, _ = train.run_poismf(A0, B0, bu, bi, p)
+    np.testing.assert_allclose(np.asarray(A1), np.asarray(A2))
+    train._ELL_CACHE.clear()
+    train._ELL_AUX.clear()
+
+
 def test_pass_stats_accounting(rng):
     """train.PASS_STATS collects (sweeps, bytes/sweep) entries over an ELL
     fit, and the sweep counters are positive device scalars — the basis of
