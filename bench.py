@@ -178,6 +178,13 @@ def run_config(name, by_user, by_item, n_users, n_items, mesh=None,
         k=cfg["k"], method=name, l2_reg=cfg["l2"], maxupd=cfg["maxupd"],
         niter=cfg["niter"], reuse_prev=cfg["reuse_prev"], early_stop=True,
         plane_dtype=_plane_dtype(),
+        # inner-CG cap experiment knob (see FitParams.max_cg): unset/0 =
+        # the tuned "auto" default, "none" = the reference maxCGit clamp,
+        # N = explicit cap
+        max_cg=(
+            None if os.environ.get("POISMF_TNCG_MAXCG", "").lower() == "none"
+            else (int(os.environ.get("POISMF_TNCG_MAXCG", "0")) or "auto")
+        ),
     )
 
     fingerprint = jax.jit(

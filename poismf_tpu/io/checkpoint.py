@@ -17,13 +17,15 @@ _HYPERPARAMS = [
     "k", "method", "l2_reg", "l1_reg", "niter", "maxupd", "limit_step",
     "initial_step", "early_stop", "reuse_prev", "weight_mult", "random_state",
     "reindex", "copy_data", "produce_dicts", "use_float", "handle_interrupt",
-    "nnz_chunk", "layout", "plane_dtype",
+    "nnz_chunk", "layout", "plane_dtype", "max_cg",
 ]
 
-# v1 (round 1-2) lacked layout/plane_dtype; v2 adds them plus this key.
-# Loading is forward-tolerant: unknown constructor keys would be a hard
-# error, so a version newer than ours raises with a clear message.
-_FORMAT_VERSION = 2
+# v1 (round 1-2) lacked layout/plane_dtype; v2 added them plus this key;
+# v3 adds max_cg.  Loading is forward-tolerant: unknown constructor keys
+# would be a hard error, so a version newer than ours raises with a clear
+# message (missing keys in OLDER checkpoints fall back to constructor
+# defaults).
+_FORMAT_VERSION = 3
 
 
 def save_model(model, path: str):

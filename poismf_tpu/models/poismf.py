@@ -87,7 +87,7 @@ class PoisMF:
                  use_float=True, handle_interrupt=True,
                  nthreads=-1, n_jobs=None,
                  mesh=None, nnz_chunk=None, layout="auto",
-                 plane_dtype=None):
+                 plane_dtype=None, max_cg="auto"):
         self.k = k
         self.method = method
         self.l2_reg = l2_reg
@@ -111,6 +111,10 @@ class PoisMF:
         self.nnz_chunk = nnz_chunk
         self.layout = layout
         self.plane_dtype = plane_dtype
+        # TPU-specific inner-CG cap for tncg training (see FitParams.max_cg);
+        # "auto" = TPU-tuned 3, None = the reference's maxCGit =
+        # clamp(k/2, 1, 50)
+        self.max_cg = max_cg
         self._reset_state()
 
     # ------------------------------------------------------------------ state
@@ -157,6 +161,7 @@ class PoisMF:
             nnz_chunk=self.nnz_chunk,
             layout=self.layout,
             plane_dtype=self.plane_dtype,
+            max_cg=self.max_cg,
         ).resolved()
 
     # ------------------------------------------------------------------ fitted

@@ -301,6 +301,7 @@ def _full_round_body(p, se: ShardedEll,
     x_new, _, st = _tncg_update_ell_jit(
         x, planes_l, ell, bsum_l, reuse_prev, max_outer, active,
         l2_reg=p.l2_reg, w_mult=p.w_mult, maxupd=p.maxupd,
+        max_cg=p.max_cg,
     )
     return x_new, st["active"]
 
@@ -329,6 +330,7 @@ def _compact_round_body(p, se: ShardedEll, plan, dtype_name,
         jnp.asarray(True), max_outer,
         jnp.ones((x_c.shape[0],), dtype=bool),
         l2_reg=p.l2_reg, w_mult=p.w_mult, maxupd=p.maxupd,
+        max_cg=p.max_cg,
     )
     x_out = ell_ops.scatter_back(x, x_new, compact.perm,
                                  compact.row_nnz_perm)
@@ -687,6 +689,7 @@ def _local_update_ell(p: FitParams, se: ShardedEll, plane_dtype,
             x, planes, ell, bsum_in,
             l2_reg=p.l2_reg, w_mult=p.w_mult, maxupd=p.maxupd,
             reuse_prev=p.reuse_prev, track_unchanged=False,
+            max_cg=p.max_cg,
         )
     return jnp.take(x, ell.inv_perm, axis=0)
 

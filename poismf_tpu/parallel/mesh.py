@@ -197,7 +197,7 @@ def _local_update(p: FitParams, rows_per_shard: int, n_cols: int,
             target_loc, fixed, X_loc, bsum_in,
             l2_reg=p.l2_reg, w_mult=p.w_mult, maxupd=p.maxupd,
             reuse_prev=p.reuse_prev, track_unchanged=False,
-            nnz_chunk=p.nnz_chunk,
+            nnz_chunk=p.nnz_chunk, max_cg=p.max_cg,
         )
     return new
 

@@ -398,7 +398,8 @@ def _stats_dict(out) -> dict:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("maxupd", "w_mult", "nnz_chunk", "ftol", "l2_in_f"),
+    static_argnames=("maxupd", "w_mult", "nnz_chunk", "ftol", "l2_in_f",
+                     "max_cg"),
 )
 def _tncg_update_jit(
     A: jnp.ndarray,
@@ -414,14 +415,16 @@ def _tncg_update_jit(
     nnz_chunk: Optional[int],
     ftol: float = TNC_FTOL,
     l2_in_f: bool = False,
+    max_cg: Optional[int] = None,
 ):
     """Jitted COO backend: ``reuse_prev`` and ``max_outer`` are traced
     scalars so every outer-cap / init combination shares ONE program (the
     compile-time attack; the reference has no analog — it recompiles
     nothing, but over the tunneled-TPU remote compiler each program variant
-    costs tens of seconds)."""
+    costs tens of seconds).  ``max_cg`` overrides the reference inner-CG
+    cap (see _tncg_update_ell_jit)."""
     R, k = A.shape
-    maxcg = _maxcgit(k)
+    maxcg = _maxcgit(k) if max_cg is None else max(1, int(max_cg))
 
     # l2_in_f=False (training default): the reference TNCG objective
     # calc_fun_and_grad omits the l2 penalty from f while keeping 2*l2*a in
@@ -482,6 +485,7 @@ def tncg_update(
     return_stats: bool = False,
     ftol: float = TNC_FTOL,
     l2_in_f: bool = False,
+    max_cg: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One TNCG pass over every row of A (B fixed), flat-COO backend.
 
@@ -496,7 +500,7 @@ def tncg_update(
         jnp.asarray(bool(reuse_prev)),
         jnp.asarray(_effective_max_outer(max_outer, maxupd), dtype=jnp.int32),
         l2_reg=l2_reg, w_mult=w_mult, maxupd=maxupd, nnz_chunk=nnz_chunk,
-        ftol=ftol, l2_in_f=l2_in_f,
+        ftol=ftol, l2_in_f=l2_in_f, max_cg=max_cg,
     )
     if return_stats:
         return x_final, share, stats
@@ -510,7 +514,7 @@ def tncg_update(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("maxupd", "w_mult", "ftol", "l2_in_f"),
+    static_argnames=("maxupd", "w_mult", "ftol", "l2_in_f", "max_cg"),
 )
 def _tncg_update_ell_jit(
     A_perm: jnp.ndarray,
@@ -526,13 +530,24 @@ def _tncg_update_ell_jit(
     maxupd: int,
     ftol: float = TNC_FTOL,
     l2_in_f: bool = False,
+    max_cg: Optional[int] = None,
 ):
     """Jitted ELL backend — one compiled program per (ELL shape, maxupd,
     w_mult): init mode, outer cap and row subset are all traced, so the
     cascade's round-0 / continuation / final-unbounded calls and every
-    early-stop epoch reuse the same executable (see _tncg_update_jit)."""
+    early-stop epoch reuse the same executable (see _tncg_update_jit).
+
+    ``max_cg`` overrides the reference's ``maxCGit = clamp(k/2, 1, 50)``
+    inner-CG cap.  The batched CG loop continues while ANY row is above its
+    forcing tolerance, so one straggler row makes every row pay a full
+    plane sweep per extra iteration — measured on the bench workload the
+    cap binds almost every outer iteration (~25 of the ~30 passes/outer).
+    A tighter cap hands stragglers a more-truncated Newton direction (they
+    stay active into later, 4-16x cheaper cascade rounds) and is closer in
+    SPIRIT to the reference, where each row pays only its own CG cost
+    (tnc_direction, tnc.c:1162-1341)."""
     R, k = A_perm.shape
-    maxcg = _maxcgit(k)
+    maxcg = _maxcgit(k) if max_cg is None else max(1, int(max_cg))
 
     # l2_in_f: calc_fun_and_grad parity for training, consistent objective
     # for deep serving solves (see _tncg_update_jit)
@@ -587,6 +602,7 @@ def tncg_update_ell(
     active_mask: Optional[jnp.ndarray] = None,
     ftol: float = TNC_FTOL,
     l2_in_f: bool = False,
+    max_cg: Optional[int] = None,
 ):
     """One TNCG pass over every (permuted) row, planar-ELL backend.
 
@@ -607,7 +623,7 @@ def tncg_update_ell(
         jnp.asarray(_effective_max_outer(max_outer, maxupd), dtype=jnp.int32),
         active_mask,
         l2_reg=l2_reg, w_mult=w_mult, maxupd=maxupd, ftol=ftol,
-        l2_in_f=l2_in_f,
+        l2_in_f=l2_in_f, max_cg=max_cg,
     )
     if return_stats:
         return x_final, share, stats

@@ -135,6 +135,8 @@ def _compact_round(
     dtype_name: Optional[str],
     maxupd: int,
     w_mult: float,
+    max_cg: Optional[int] = None,
+    stats_out: Optional[list] = None,
 ):
     """One cascade round on a compact sub-ELL (see the note above on why
     this is three dispatches).  Round length and selection are traced, so
@@ -150,7 +152,7 @@ def _compact_round(
         jnp.asarray(True),  # compact rounds always continue from x
         max_outer,
         jnp.ones((x_c.shape[0],), dtype=bool),
-        l2_reg=l2_reg, w_mult=w_mult, maxupd=maxupd,
+        l2_reg=l2_reg, w_mult=w_mult, maxupd=maxupd, max_cg=max_cg,
     )
     if PASS_STATS is not None:
         it = 2 if dtype_name == "bfloat16" else x_c.dtype.itemsize
@@ -163,6 +165,8 @@ def _compact_round(
         )
     x_out = _compact_scatter(x_full, x_new, compact.perm,
                              compact.row_nnz_perm)
+    if stats_out is not None:
+        stats_out[0] = stats
     return x_out, stats["active"]
 
 
@@ -195,6 +199,18 @@ class FitParams:
     # sub-problem instead of paying full-batch passes (the batched stand-in
     # for the reference's per-row adaptive iteration counts)
     compact_tail: bool = True
+    # inner-CG iteration cap for tncg training rounds.  "auto" = 3 (the
+    # TPU-tuned default); None = the reference's maxCGit = clamp(k/2, 1,
+    # 50) (poismf.c:342).  The batched CG continues while ANY row is
+    # unconverged, so the reference cap binds nearly every outer iteration
+    # at scale (measured ~25 of ~30 passes/outer were inner-CG); a tight
+    # cap hands stragglers a more-truncated Newton direction — they simply
+    # stay active into later, 4-16x cheaper cascade rounds — and cut the
+    # flagship fit 55.3 -> 38.8 s at identical final LL/sparsity (the
+    # round-3 cap sweep: 25 -> 55.3 s, 8 -> 46.2, 5 -> 43.0, 3 -> 38.8,
+    # 2 -> 37.1, quality flat throughout).  Serving solves are not
+    # affected (they pass max_cg=None explicitly at their call sites).
+    max_cg: Optional[int] = "auto"  # type: ignore[assignment]
 
     def resolved(self) -> "FitParams":
         p = dataclasses.replace(self)
@@ -210,6 +226,12 @@ class FitParams:
             p.maxupd = {"tncg": 15 * p.k, "cg": 5, "pg": 10}[p.method]
         if p.niter == "auto":
             p.niter = {"tncg": 10, "cg": 30, "pg": 10}[p.method]
+        if p.max_cg == "auto":
+            p.max_cg = 3 if p.method == "tncg" else None
+        if p.max_cg is not None:
+            p.max_cg = int(p.max_cg)
+            if p.max_cg < 1:
+                raise ValueError("max_cg must be a positive integer or None")
         assert p.k > 0 and p.niter >= 1 and p.maxupd >= 1
         assert p.l2_reg >= 0 and p.l1_reg >= 0
         assert p.initial_step > 0 and p.w_mult > 0
@@ -449,7 +471,7 @@ def _run_poismf_ell(
                 target_p, planes, ell, bsum_in,
                 l2_reg=p.l2_reg, w_mult=p.w_mult, maxupd=p.maxupd,
                 reuse_prev=p.reuse_prev, track_unchanged=early_stop,
-                return_stats=True,
+                return_stats=True, max_cg=p.max_cg,
             )
             if PASS_STATS is not None:
                 PASS_STATS.append((st["passes"], swb))
@@ -466,7 +488,8 @@ def _run_poismf_ell(
         # a given structure shares one compiled program (round length, init
         # mode and active set are traced operands of _compact_round /
         # tncg_update_ell).
-        solver_kw = dict(l2_reg=p.l2_reg, w_mult=p.w_mult, maxupd=p.maxupd)
+        solver_kw = dict(l2_reg=p.l2_reg, w_mult=p.w_mult, maxupd=p.maxupd,
+                         max_cg=p.max_cg)
         MAX_ROUNDS = 8
         ROUND_ITERS = 4
         round0_iters = 3
@@ -501,6 +524,7 @@ def _run_poismf_ell(
                 if plan is aux["plans"][0]:
                     last = True
                 sels, src_cs, slot_map, row_nnz_c, _ = sel
+                st_cell = [None]
 
                 def round_compact(x_in):
                     return _compact_round(
@@ -513,6 +537,8 @@ def _run_poismf_ell(
                         dtype_name=(None if plane_dtype is None
                                     else str(np.dtype(plane_dtype))),
                         maxupd=p.maxupd, w_mult=p.w_mult,
+                        max_cg=p.max_cg,
+                        stats_out=st_cell,
                     )
 
                 if last:
@@ -524,9 +550,12 @@ def _run_poismf_ell(
                     act_next = np.zeros(ell.n_rows_ell, dtype=bool)
                     live = act_c & (sm != ell.n_rows_ell - 1)
                     act_next[sm[live]] = True
-                log(rnd, f"compact/{plan.denom}", last, active, act_next)
+                log(rnd, f"compact/{plan.denom}", last, active, act_next,
+                    stats=st_cell[0])
             else:
                 mask = None if active is None else jnp.asarray(active)
+
+                st_cell = [None]
 
                 def round_full(x_in):
                     x_out, _, st = tncg_update_ell(
@@ -539,6 +568,7 @@ def _run_poismf_ell(
                     )
                     if PASS_STATS is not None:
                         PASS_STATS.append((st["passes"], swb))
+                    st_cell[0] = st
                     return x_out, st["active"]
 
                 if last:
@@ -546,7 +576,8 @@ def _run_poismf_ell(
                     act_next = None
                 else:
                     x, act_next = _round_with_redispatch(round_full, x)
-                log(rnd, "full", last, active, act_next)
+                log(rnd, "full", last, active, act_next,
+                    stats=st_cell[0])
             if act_next is None or not act_next.any():
                 break
             active = act_next
@@ -696,7 +727,7 @@ def _cascade_logger(ell):
     import os as _os
 
     if not _os.environ.get("POISMF_CASCADE_LOG"):
-        return lambda *a: None
+        return lambda *a, **kw: None
     import sys as _sys
     import time as _time
 
@@ -705,11 +736,16 @@ def _cascade_logger(ell):
 
     detail = _os.environ.get("POISMF_CASCADE_LOG") == "2"
 
-    def log(rnd, structure, last, active, act_next):
+    def log(rnd, structure, last, active, act_next, stats=None):
         now = _time.time()
         n_in = n if active is None else int(np.count_nonzero(active))
         n_out = 0 if act_next is None else int(np.count_nonzero(act_next))
         extra = ""
+        if stats is not None:
+            # two tiny d2h fetches, only under the env flag: global plane
+            # sweeps this round and outer iterations actually run
+            extra += (f"  passes={float(np.asarray(stats['passes'])):.0f}"
+                      f" it={int(np.asarray(stats['outer_iters']))}")
         if detail and act_next is not None:
             srcs = getattr(ell, "host_aux", {}).get("src", [None] * len(ell.buckets))
             per = [
@@ -889,7 +925,7 @@ def warm_compact_plans(by_user: CountsMatrix, by_item: CountsMatrix,
                 tuple(sels), tuple(src_cs), slot_map, row_nnz_c,
                 p.l2_reg, jnp.asarray(1, dtype=jnp.int32),
                 plan=plan, dtype_name=dtype_name,
-                maxupd=p.maxupd, w_mult=p.w_mult,
+                maxupd=p.maxupd, w_mult=p.w_mult, max_cg=p.max_cg,
             )
             jax.block_until_ready(out)
             warmed.add(id(plan))

@@ -92,6 +92,9 @@ def _ours_trajectory(method, rows, cols, vals, A0, B0, *,
             k=K, method=method, l2_reg=l2_reg, l1_reg=l1_reg, niter=NITER,
             maxupd=maxupd, initial_step=step_size, early_stop=False,
             reuse_prev=reuse_prev, layout=layout, w_mult=w_mult,
+            # this test pins the reference's inner-solver DYNAMICS, so run
+            # with its maxCGit clamp rather than the TPU-tuned "auto" cap
+            max_cg=None,
         )
         lls = []
 

@@ -125,3 +125,54 @@ def test_tncg_early_stop_share(rng):
                             l2_reg=0.5, maxupd=400, reuse_prev=True,
                             track_unchanged=True)
     assert float(share) >= 0.9, float(share)
+
+
+def test_max_cg_cap_cuts_passes_not_quality(rng):
+    """The TPU-tuned inner-CG cap (FitParams.max_cg, default "auto"=3)
+    must (a) actually bound the batched CG loop — visibly fewer global
+    plane sweeps than the reference maxCGit clamp — and (b) land at an
+    equivalent objective: stragglers get truncated directions but keep
+    iterating, so final quality is preserved (measured flat across the
+    full cap sweep at bench scale, docs/DESIGN.md)."""
+    # the cap only binds when inner CG genuinely needs many iterations:
+    # make the per-row Hessians ill-conditioned via near-collinear item
+    # factors (on well-conditioned problems the Jacobi-preconditioned CG
+    # meets its forcing tolerance in <= 2 iterations and the cap is inert)
+    n_rows, n_cols, k = 60, 50, 24  # reference clamp = k/2 = 12 > cap 2
+    rows, cols, vals = synth_counts(rng, n_rows, n_cols, density=0.4)
+    X = build_counts(rows, cols, vals, n_rows, n_cols, dtype=np.float32)
+    base = rng.uniform(0.5, 1.5, size=(n_cols, 1)).astype(np.float32)
+    B = np.asarray(base * np.ones((1, k))
+                   + 0.01 * rng.uniform(size=(n_cols, k)), np.float32)
+    Bsum = jnp.asarray(np.sum(B, axis=0))
+    A0 = np.zeros((X.n_rows_pad, k), dtype=np.float32)
+    A0[:n_rows] = 0.3 + rng.uniform(0, 0.01, size=(n_rows, k))
+    l2 = 1e-4
+
+    outs = {}
+    for cap in (None, 2):
+        A1, _, st = tncg_update(
+            jnp.asarray(A0), jnp.asarray(B), X, Bsum, l2_reg=l2,
+            maxupd=600, reuse_prev=True, return_stats=True, max_cg=cap,
+        )
+        outs[cap] = (np.asarray(A1), float(st["passes"]))
+    # demand a clear global-sweep reduction even though the capped run may
+    # take more outer iterations
+    assert outs[2][1] < 0.85 * outs[None][1], (outs[2][1], outs[None][1])
+    f_ref = _f_rows(outs[None][0], B, X, np.asarray(Bsum), l2)[:n_rows]
+    f_cap = _f_rows(outs[2][0], B, X, np.asarray(Bsum), l2)[:n_rows]
+    # per-row objectives in the same band (capped may be equal or better)
+    assert np.all(f_cap <= f_ref + 0.02 * np.abs(f_ref) + 1e-3)
+
+
+def test_fitparams_max_cg_auto_resolution():
+    p = FitParams(method="tncg").resolved()
+    assert p.max_cg == 3
+    p = FitParams(method="cg").resolved()
+    assert p.max_cg is None
+    p = FitParams(method="tncg", max_cg=None).resolved()
+    assert p.max_cg is None
+    p = FitParams(method="tncg", max_cg=7).resolved()
+    assert p.max_cg == 7
+    with pytest.raises(ValueError):
+        FitParams(method="tncg", max_cg=0).resolved()
