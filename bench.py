@@ -505,7 +505,14 @@ def run_quality(scale: float, out_path: str = "QUALITY_r03.json"):
     A = A.at[:n_users].set(jnp.asarray(A0, dtype=jnp.float32))
     B = jnp.zeros((by_item.n_rows_pad, K), dtype=jnp.float32)
     B = B.at[:n_items].set(jnp.asarray(B0, dtype=jnp.float32))
-    params = FitParams(k=K, plane_dtype=_plane_dtype(), **cfg)
+    params = FitParams(
+        k=K, plane_dtype=_plane_dtype(),
+        max_cg=(
+            None if os.environ.get("POISMF_TNCG_MAXCG", "").lower() == "none"
+            else (int(os.environ.get("POISMF_TNCG_MAXCG", "0")) or "auto")
+        ),
+        **cfg,
+    )
     t0 = time.time()
     A, B, st = run_poismf(A, B, by_user, by_item, params)
     ll_tpu = float(fetch_host(eval_llk(A, B, by_user)))

@@ -290,7 +290,7 @@ def _prep_tncg_body(p, se: ShardedEll, plane_dtype,
     return x, tuple(bg[None] for bg in planes), bsum
 
 
-def _full_round_body(p, se: ShardedEll,
+def _full_round_body(p, se: ShardedEll, max_cg,
                      reuse_prev, max_outer, x, active, Bsum, bsum2d, planes,
                      cols, vals, srcs, perm, inv_perm, row_nnz):
     from ..solvers.tncg import _tncg_update_ell_jit
@@ -301,12 +301,12 @@ def _full_round_body(p, se: ShardedEll,
     x_new, _, st = _tncg_update_ell_jit(
         x, planes_l, ell, bsum_l, reuse_prev, max_outer, active,
         l2_reg=p.l2_reg, w_mult=p.w_mult, maxupd=p.maxupd,
-        max_cg=p.max_cg,
+        max_cg=max_cg,
     )
     return x_new, st["active"]
 
 
-def _compact_round_body(p, se: ShardedEll, plan, dtype_name,
+def _compact_round_body(p, se: ShardedEll, plan, dtype_name, max_cg,
                         max_outer, x, fixed, Bsum, bsum2d,
                         sels, src_cs, slot_map, row_nnz_c,
                         cols, vals, srcs, perm, inv_perm, row_nnz):
@@ -330,7 +330,7 @@ def _compact_round_body(p, se: ShardedEll, plan, dtype_name,
         jnp.asarray(True), max_outer,
         jnp.ones((x_c.shape[0],), dtype=bool),
         l2_reg=p.l2_reg, w_mult=p.w_mult, maxupd=p.maxupd,
-        max_cg=p.max_cg,
+        max_cg=max_cg,
     )
     x_out = ell_ops.scatter_back(x, x_new, compact.perm,
                                  compact.row_nnz_perm)
@@ -465,8 +465,20 @@ def sharded_tncg_cascade_half(
             ),
             check_vma=False,
         )
+        # bulk rounds run the tuned inner-CG cap; FINAL rounds polish with
+        # the reference maxCGit (max_cg=None) — same hybrid as the
+        # single-chip cascade (train.py half())
         progs["full"] = jax.shard_map(
-            functools.partial(_full_round_body, p, se),
+            functools.partial(_full_round_body, p, se, p.max_cg),
+            mesh=mesh,
+            in_specs=(P(), P(), P(AXIS, None), P(AXIS), P(), P(AXIS, None),
+                      tuple(P(AXIS, None, None, None) for _ in se.cols))
+            + ell_specs,
+            out_specs=(P(AXIS, None), P(AXIS)),
+            check_vma=False,
+        )
+        progs["full_final"] = jax.shard_map(
+            functools.partial(_full_round_body, p, se, None),
             mesh=mesh,
             in_specs=(P(), P(), P(AXIS, None), P(AXIS), P(), P(AXIS, None),
                       tuple(P(AXIS, None, None, None) for _ in se.cols))
@@ -484,14 +496,17 @@ def sharded_tncg_cascade_half(
         aux["programs"] = progs
 
     x0, planes, bsum2d = progs["prep"](target, fixed, Bsum, *ell_args)
-    full_round = progs["full"]
 
-    def compact_round_fn(plan):
-        key = id(plan)
+    def full_round_fn(last):
+        return progs["full_final"] if last else progs["full"]
+
+    def compact_round_fn(plan, last=False):
+        key = (id(plan), bool(last))
         if key not in progs["compact"]:
             progs["compact"][key] = jax.shard_map(
                 functools.partial(_compact_round_body, p, se, plan,
-                                  dtype_name),
+                                  dtype_name,
+                                  None if last else p.max_cg),
                 mesh=mesh,
                 in_specs=(
                     P(), P(AXIS, None), P(), P(), P(AXIS, None),
@@ -563,7 +578,7 @@ def sharded_tncg_cascade_half(
             row_nnz_c = jnp.asarray(np.stack([s[3] for s in sel]))
 
             def round_compact(x_in):
-                return compact_round_fn(plan)(
+                return compact_round_fn(plan, last)(
                     jnp.asarray(unbounded if last else ROUND_ITERS,
                                 dtype=jnp.int32),
                     x_in, fixed, Bsum, bsum2d,
@@ -591,7 +606,7 @@ def sharded_tncg_cascade_half(
             )
 
             def round_full(x_in):
-                return full_round(
+                return full_round_fn(last)(
                     jnp.asarray(bool(p.reuse_prev) if rnd == 0 else True),
                     jnp.asarray(unbounded if last
                                 else (round0_iters if rnd == 0

@@ -227,7 +227,13 @@ class FitParams:
         if p.niter == "auto":
             p.niter = {"tncg": 10, "cg": 30, "pg": 10}[p.method]
         if p.max_cg == "auto":
-            p.max_cg = 3 if p.method == "tncg" else None
+            # the tuned cap relies on the cascade's FINAL uncapped round
+            # for endpoint polish; without the cascade (compact_tail off)
+            # a capped whole-solve would drift in ranking quality, so
+            # "auto" falls back to reference semantics there
+            p.max_cg = (
+                3 if p.method == "tncg" and p.compact_tail else None
+            )
         if p.max_cg is not None:
             p.max_cg = int(p.max_cg)
             if p.max_cg < 1:
@@ -537,7 +543,7 @@ def _run_poismf_ell(
                         dtype_name=(None if plane_dtype is None
                                     else str(np.dtype(plane_dtype))),
                         maxupd=p.maxupd, w_mult=p.w_mult,
-                        max_cg=p.max_cg,
+                        max_cg=(None if last else p.max_cg),
                         stats_out=st_cell,
                     )
 
@@ -564,7 +570,15 @@ def _run_poismf_ell(
                         max_outer=(unbounded if last
                                    else (round0_iters if rnd == 0
                                          else ROUND_ITERS)),
-                        return_stats=True, active_mask=mask, **solver_kw,
+                        return_stats=True, active_mask=mask,
+                        # final rounds polish with the reference maxCGit:
+                        # the tight cap is a bulk-round bandwidth trade,
+                        # but each half-update ENDPOINT gets full-depth
+                        # Newton directions (the cap-everywhere variant
+                        # measured -3..-6% P@5/NDCG at the 25%-scale
+                        # quality harness; the hybrid restores parity)
+                        **{**solver_kw,
+                           "max_cg": None if last else p.max_cg},
                     )
                     if PASS_STATS is not None:
                         PASS_STATS.append((st["passes"], swb))
@@ -920,14 +934,18 @@ def warm_compact_plans(by_user: CountsMatrix, by_item: CountsMatrix,
             fixed_p = jnp.zeros((fixed_ell.n_rows_ell, p.k),
                                 dtype=jnp.float32)
             bsum = jnp.zeros((p.k,), dtype=jnp.float32)
-            out, _ = _compact_round(
-                x_full, fixed_p, ell, bsum,
-                tuple(sels), tuple(src_cs), slot_map, row_nnz_c,
-                p.l2_reg, jnp.asarray(1, dtype=jnp.int32),
-                plan=plan, dtype_name=dtype_name,
-                maxupd=p.maxupd, w_mult=p.w_mult, max_cg=p.max_cg,
-            )
-            jax.block_until_ready(out)
+            # any plan can host both bulk rounds (tuned cap) and FINAL
+            # rounds (reference cap) under the hybrid policy — warm both
+            # program variants
+            for cap in {p.max_cg, None}:
+                out, _ = _compact_round(
+                    x_full, fixed_p, ell, bsum,
+                    tuple(sels), tuple(src_cs), slot_map, row_nnz_c,
+                    p.l2_reg, jnp.asarray(1, dtype=jnp.int32),
+                    plan=plan, dtype_name=dtype_name,
+                    maxupd=p.maxupd, w_mult=p.w_mult, max_cg=cap,
+                )
+                jax.block_until_ready(out)
             warmed.add(id(plan))
             n_warmed += 1
     return n_warmed
