@@ -486,12 +486,21 @@ def _gather_planes_compiled(dtype_name):
     def run(M, ell):
         import jax.numpy as jnp
 
+        # Cast BEFORE gathering: the gather then writes (and the transpose
+        # reads+writes) half the bytes, and the cast commutes with the
+        # gather exactly (elementwise), so results are bitwise identical.
+        # Isolated measurement (scripts/gather_bench.py, v5e, k=50, 2.5 GB
+        # of bf16 planes): f32-gather-then-cast 751 ms, bf16-first 174 ms.
+        # End-to-end the tncg fit is UNCHANGED (A/B same-day: 40.1 s vs
+        # 40.5 s median) — the fit is solver-pass-bound and the async
+        # dispatch stream absorbs the standalone gather's latency — so this
+        # is kept for the lower peak HBM footprint, not for fit wall time.
+        if dtype_name is not None:
+            M = M.astype(dtype_name)
         planes = []
         for b in ell.buckets:
             bg = jnp.take(M, b.cols, axis=0)  # [R_b, P, k]
             bg = jnp.transpose(bg, (2, 1, 0))  # [k, P, R_b]
-            if dtype_name is not None:
-                bg = bg.astype(dtype_name)
             planes.append(bg)
         return tuple(planes)
 
