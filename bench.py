@@ -521,6 +521,29 @@ def run_quality(scale: float, out_path: str = "QUALITY_r03.json"):
     A_t = np.asarray(A[:n_users], dtype=np.float64)
     B_t = np.asarray(B[:n_items], dtype=np.float64)
 
+    # Warm steady-state wall time at the same scale: the parity fit above
+    # pays every one-time XLA compile (and any transport stall), so its wall
+    # is NOT a throughput number.  Re-fit from a clock-derived init (the
+    # tunnel memoizes identical executions across processes — a pinned-init
+    # rerun would read ~0 s) and end the window with a dependent d2h fetch,
+    # the only true completion barrier on this transport.
+    wseed = time.time_ns() % (2**31)
+    wrng = np.random.default_rng(wseed)
+    Aw = jnp.zeros((by_user.n_rows_pad, K), dtype=jnp.float32)
+    Aw = Aw.at[:n_users].set(jnp.asarray(
+        0.3 + wrng.uniform(0.0, 0.01, size=(n_users, K)), dtype=jnp.float32))
+    Bw = jnp.zeros((by_item.n_rows_pad, K), dtype=jnp.float32)
+    Bw = Bw.at[:n_items].set(jnp.asarray(
+        0.3 + wrng.uniform(0.0, 0.01, size=(n_items, K)), dtype=jnp.float32))
+    jax.block_until_ready((Aw, Bw))
+    t0 = time.time()
+    Aw, Bw, stw = run_poismf(Aw, Bw, by_user, by_item, params)
+    ll_warm = float(fetch_host(eval_llk(Aw, Bw, by_user)))
+    tpu_wall_warm = time.time() - t0
+    assert stw == 0 and np.isfinite(ll_warm)
+    print(f"# [quality] warm refit (seed {wseed}): {tpu_wall_warm:.1f}s, "
+          f"LL {ll_warm:.6g}", file=sys.stderr, flush=True)
+
     # reference LL through the same evaluator
     Ar = jnp.zeros((by_user.n_rows_pad, K), dtype=jnp.float32)
     Ar = Ar.at[:n_users].set(jnp.asarray(A_ref, dtype=jnp.float32))
@@ -546,7 +569,11 @@ def run_quality(scale: float, out_path: str = "QUALITY_r03.json"):
         "auc_ref": round(m_ref["roc_auc"], 5),
         "auc_tpu": round(m_tpu["roc_auc"], 5),
         "ref_wall_s_1thread": round(ref_wall, 1),
-        "tpu_wall_s": round(tpu_wall, 1),
+        # cold = parity fit incl. every one-time XLA compile; warm = fresh
+        # clock-seeded init through the already-compiled programs (the
+        # comparable throughput number)
+        "tpu_wall_cold_s": round(tpu_wall, 1),
+        "tpu_wall_warm_s": round(tpu_wall_warm, 1),
     }
     line = json.dumps(out)
     with open(out_path, "w") as f:

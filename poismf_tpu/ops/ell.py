@@ -565,20 +565,21 @@ def _pallas_state():
 def _bucket_data_fgh(b: EllBucket, bg, A_T, w_mult: float):
     """One bucket's fused data terms; Pallas single-plane-read kernel on TPU,
     jnp fallback elsewhere.  Returns (neg_llk [R], grad [R,k], diag [R,k],
-    w2 [P,R])."""
+    w2 [P,R], pred [P,R]).  ``pred`` is the raw (unfloored) prediction plane
+    consumed by the ray line search (see f_gtd_ray_ell)."""
     import jax.numpy as jnp
 
     mode = _pallas_state()
     if mode is not None and bg.dtype != jnp.float64:
         from . import pallas_kernels as pk
 
-        nll, grad, diag, w2 = pk.fgh_bucket(
+        nll, grad, diag, w2, pred = pk.fgh_bucket(
             bg, b.vals.astype(jnp.float32), A_T.astype(jnp.float32),
             w_mult=float(w_mult), interpret=(mode == "interpret"),
         )
         dt = A_T.dtype
         return (nll.astype(dt), grad.T.astype(dt), diag.T.astype(dt),
-                w2.astype(dt))
+                w2.astype(dt), pred.astype(dt))
 
     pred = jnp.sum(bg * A_T[:, None, :], axis=0)  # [P, R_b]
     safe = jnp.maximum(pred, PRED_EPS)
@@ -591,6 +592,7 @@ def _bucket_data_fgh(b: EllBucket, bg, A_T, w_mult: float):
         -jnp.sum(w[None] * bg, axis=1).T,
         jnp.sum(w2[None] * (bg * bg), axis=1).T,
         w2,
+        pred,
     )
 
 
@@ -685,6 +687,84 @@ def f_gtd_ell(
     return f, gtd
 
 
+def _bucket_data_ray(b: EllBucket, px, pd, a_b):
+    """One bucket's ray-trial data terms from cached prediction planes:
+    ``pred_t = px + alpha * pd`` (exact while the step stays within the
+    first bound crossing — the reference's stepMax/getptc xbnd contract,
+    tnc.c:795,1861-1864).  No [k,P,R] plane read."""
+    import jax.numpy as jnp
+
+    mode = _pallas_state()
+    if mode is not None and px.dtype != jnp.float64:
+        from . import pallas_kernels as pk
+
+        nll, gud = pk.ray_bucket(
+            px.astype(jnp.float32), pd.astype(jnp.float32),
+            b.vals.astype(jnp.float32), a_b.astype(jnp.float32),
+            interpret=(mode == "interpret"),
+        )
+        return nll, gud
+    pred = px + a_b * pd  # [P, R_b] (a_b broadcasts from [1, R_b])
+    valid = b.vals > 0
+    logt = jnp.where(valid, b.vals * jnp.log(pred), 0.0)
+    nll = -jnp.sum(logt, axis=0)
+    ratio = jnp.where(
+        valid, b.vals * pd / jnp.maximum(pred, PRED_EPS), 0.0
+    )
+    gud = jnp.sum(ratio, axis=0)
+    return nll, gud
+
+
+def f_gtd_ray_ell(
+    trial,
+    D_perm,
+    alpha,
+    pxs: Sequence[Any],
+    bds: Sequence[Any],
+    ell: EllMatrix,
+    Bsum,
+    l2_reg: float,
+    w_mult: float = 1.0,
+    l2_in_f: bool = True,
+):
+    """Line-search trial objective + directional derivative along the ray
+    ``x + alpha*d`` WITHOUT re-reading the [k,P,R] planes: predictions are
+    linear in the factor vector, so ``pred(trial) = px + alpha*pd`` with
+    ``px`` cached by fgh_ell and ``pd`` from bdot_ell.  Exact as long as the
+    step never crosses a bound (the solver caps alpha at the reference's
+    stepMax distance, tnc.c:795).  Per-trial traffic: three [P,R] f32
+    streams vs a full plane sweep — 8-9x less at k=50 bf16.
+
+    ``trial``/``D_perm`` feed only the cheap [R,k] linear/l2 terms;
+    ``alpha`` is the per-row step [n_rows_ell]."""
+    import jax.numpy as jnp
+
+    dtype = trial.dtype
+    a_col = alpha[:, None].astype(dtype)
+    nlls, guds = [], []
+    for b, px, pd in zip(ell.buckets, pxs, bds):
+        a_b = _bucket_x(a_col, b).T  # [1, R_b] (src-aware for long rows)
+        nll, gud = _bucket_data_ray(b, px, pd, a_b)
+        nlls.append(nll)
+        guds.append(gud)
+    nll = _assemble(ell, nlls, (), dtype)
+    gud = _assemble(ell, guds, (), dtype)
+    if w_mult != 1.0:
+        nll = w_mult * nll
+        gud = w_mult * gud
+    if Bsum.ndim == 1:
+        lin = trial @ Bsum
+        lin_d = D_perm @ Bsum
+    else:
+        lin = jnp.sum(trial * Bsum, axis=-1)
+        lin_d = jnp.sum(D_perm * Bsum, axis=-1)
+    if l2_in_f:
+        lin = lin + l2_reg * jnp.sum(trial * trial, axis=-1)
+    f = lin + nll
+    gtd = lin_d + 2.0 * l2_reg * jnp.sum(trial * D_perm, axis=-1) - gud
+    return f, gtd
+
+
 def _bucket_data_hvp(bg, w2, V_T):
     import jax.numpy as jnp
 
@@ -717,7 +797,9 @@ def fgh_ell(
 
     ``A_perm``: [n_rows_pad, k] in permuted row order.  ``Bsum`` is [k]
     (shared) or [n_rows_pad, k] (per-row, ALREADY permuted).  Returns
-    ``(f [R], g [R,k], w2 (per-bucket [P,R_b] tuple), diag [R,k])``.
+    ``(f [R], g [R,k], w2 (per-bucket [P,R_b] tuple), diag [R,k],
+    px (per-bucket raw prediction planes))`` — ``px`` feeds the ray line
+    search (f_gtd_ray_ell).
 
     Same math as :func:`poismf_tpu.ops.objective.poisson_fgh` (see the
     reference's calc_fun_and_grad, poismf.c:242-273), reorganized so every
@@ -727,14 +809,15 @@ def fgh_ell(
 
     k = A_perm.shape[1]
     dtype = A_perm.dtype
-    neg_llks, grads, diags, w2s = [], [], [], []
+    neg_llks, grads, diags, w2s, preds = [], [], [], [], []
     for b, bg in zip(ell.buckets, planes):
         A_T = _bucket_x(A_perm, b).T  # [k, R_b]
-        nll, gd, dd, w2 = _bucket_data_fgh(b, bg, A_T, w_mult)
+        nll, gd, dd, w2, pred = _bucket_data_fgh(b, bg, A_T, w_mult)
         neg_llks.append(nll)  # [R_b]
         grads.append(gd)  # [R_b, k]
         diags.append(dd)  # [R_b, k]
         w2s.append(w2)
+        preds.append(pred)
 
     neg_llk = _assemble(ell, neg_llks, (), dtype)
     grad_data = _assemble(ell, grads, (k,), dtype)
@@ -754,7 +837,7 @@ def fgh_ell(
     f = lin + neg_llk
     g = g_lin + 2.0 * l2_reg * A_perm + grad_data
     diag = 2.0 * l2_reg + diag_data
-    return f, g, tuple(w2s), diag
+    return f, g, tuple(w2s), diag, tuple(preds)
 
 
 def f_ell(

@@ -259,6 +259,78 @@ def poisson_f_gtd(
     return f, gtd
 
 
+def poisson_f_gtd_ray(
+    A_trial: jnp.ndarray,
+    D: jnp.ndarray,
+    alpha: jnp.ndarray,
+    px: jnp.ndarray,
+    bd: jnp.ndarray,
+    X: CountsMatrix,
+    Bsum: jnp.ndarray,
+    l2_reg: float,
+    w_mult: float = 1.0,
+    nnz_chunk: Optional[int] = None,
+    l2_in_f: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Line-search trial objective + directional derivative along the ray
+    ``x + alpha*d`` WITHOUT an SDDMM: predictions are linear in the factor
+    vector, so ``pred(trial) = px + alpha[row]*bd`` with ``px`` the per-edge
+    predictions cached by :func:`poisson_fgh` and ``bd`` from
+    :func:`poisson_bdot`.  Exact while the step stays within the first
+    bound crossing (the solver caps alpha at the reference's stepMax
+    distance, tnc.c:795); f keeps the +inf poisoning on non-positive trial
+    predictions.  ``A_trial``/``D`` feed only the [R,k] linear/l2 terms."""
+    R = X.n_rows_pad
+
+    def eval_chunk(row_ids, vals, px_c, bd_c):
+        a_e = jnp.take(alpha, jnp.minimum(row_ids, R - 1))
+        pred = px_c + a_e * bd_c
+        log_term = jnp.where(vals > 0, vals * jnp.log(pred), 0.0)
+        nll = -segment_rowsum(log_term, row_ids, R)
+        ratio = jnp.where(
+            vals > 0, vals * bd_c / jnp.maximum(pred, PRED_EPS), 0.0
+        )
+        gud = segment_rowsum(ratio, row_ids, R)
+        return nll, gud
+
+    chunk = _maybe_chunk(X.nnz_pad, nnz_chunk)
+    if chunk is None:
+        nll, gud = eval_chunk(X.row_ids, X.vals, px, bd)
+    else:
+        n_chunks = X.nnz_pad // chunk
+
+        def body(carry, xs):
+            r, v, p_, b_ = xs
+            nl, gd = eval_chunk(r, v, p_, b_)
+            return (carry[0] + nl, carry[1] + gd), None
+
+        (nll, gud), _ = lax.scan(
+            body,
+            (jnp.zeros((R,), A_trial.dtype), jnp.zeros((R,), A_trial.dtype)),
+            (
+                X.row_ids.reshape(n_chunks, chunk),
+                X.vals.reshape(n_chunks, chunk),
+                px.reshape(n_chunks, chunk),
+                bd.reshape(n_chunks, chunk),
+            ),
+        )
+
+    if w_mult != 1.0:
+        nll = w_mult * nll
+        gud = w_mult * gud
+    if Bsum.ndim == 1:
+        lin = A_trial @ Bsum
+        lin_d = D @ Bsum
+    else:
+        lin = jnp.sum(A_trial * Bsum, axis=-1)
+        lin_d = jnp.sum(D * Bsum, axis=-1)
+    if l2_in_f:
+        lin = lin + l2_reg * jnp.sum(A_trial * A_trial, axis=-1)
+    f = lin + nll
+    gtd = lin_d + 2.0 * l2_reg * jnp.sum(A_trial * D, axis=-1) - gud
+    return f, gtd
+
+
 def poisson_fg(
     A: jnp.ndarray,
     B: jnp.ndarray,
@@ -331,17 +403,19 @@ def poisson_fgh(
     w_mult: float = 1.0,
     nnz_chunk: Optional[int] = None,
     l2_in_f: bool = True,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fused per-row objective, gradient, HVP edge weights, and Hessian
     diagonal in ONE pass over the nnz stream.  ``l2_in_f=False`` omits the
     l2 penalty from f only (calc_fun_and_grad parity - see poisson_f).
 
-    Returns ``(f [R], g [R,k], w2 [nnz], diag [R,k])`` — everything the TNCG
-    outer iteration needs at a new iterate.  One SDDMM and one gather of
-    ``B[cols]`` feed all four outputs; the two per-row segment reductions
-    (gradient data term and Hessian diagonal) are fused into a single
-    segment-sum over a ``[nnz, 2k]`` concatenation so the TPU issues one
-    scatter instead of two.
+    Returns ``(f [R], g [R,k], w2 [nnz], diag [R,k], px [nnz])`` —
+    everything the TNCG outer iteration needs at a new iterate, including
+    the raw per-edge predictions ``px`` that make line-search trials
+    plane-read-free (see :func:`poisson_f_gtd_ray`).  One SDDMM and one
+    gather of ``B[cols]`` feed all outputs; the two per-row segment
+    reductions (gradient data term and Hessian diagonal) are fused into a
+    single segment-sum over a ``[nnz, 2k]`` concatenation so the TPU issues
+    one scatter instead of two.
 
     Equivalent to calc_fun_and_grad (poismf.c:242-273) + the finite-difference
     Hessian machinery it feeds (tnc.c:1388-1435), collapsed into a single
@@ -367,10 +441,10 @@ def poisson_fgh(
         seg = jax.ops.segment_sum(
             both, row_ids, num_segments=R + 1, indices_are_sorted=True
         )[:R]
-        return neg_llk, seg[:, :k], seg[:, k:], w2
+        return neg_llk, seg[:, :k], seg[:, k:], w2, pred
 
     if chunk is None:
-        neg_llk, grad_data, diag_data, w2 = eval_chunk(
+        neg_llk, grad_data, diag_data, w2, px = eval_chunk(
             X.row_ids, X.col_ids, X.vals
         )
     else:
@@ -379,10 +453,10 @@ def poisson_fgh(
         def body(carry, xs):
             nl, gd, dd = carry
             r, c, v = xs
-            nl_c, gd_c, dd_c, w2_c = eval_chunk(r, c, v)
-            return (nl + nl_c, gd + gd_c, dd + dd_c), w2_c
+            nl_c, gd_c, dd_c, w2_c, px_c = eval_chunk(r, c, v)
+            return (nl + nl_c, gd + gd_c, dd + dd_c), (w2_c, px_c)
 
-        (neg_llk, grad_data, diag_data), w2s = lax.scan(
+        (neg_llk, grad_data, diag_data), (w2s, pxs) = lax.scan(
             body,
             (
                 jnp.zeros((R,), dtype=A.dtype),
@@ -396,6 +470,7 @@ def poisson_fgh(
             ),
         )
         w2 = w2s.reshape(-1)
+        px = pxs.reshape(-1)
 
     if w_mult != 1.0:
         neg_llk = w_mult * neg_llk
@@ -411,7 +486,7 @@ def poisson_fgh(
     f = lin + neg_llk
     g = g_lin + 2.0 * l2_reg * A + grad_data
     diag = 2.0 * l2_reg + diag_data
-    return f, g, w2, diag
+    return f, g, w2, diag, px
 
 
 def poisson_hvp_weights(

@@ -77,8 +77,8 @@ def _tncg_core(
     x0: jnp.ndarray,
     has_nnz: jnp.ndarray,
     n_rows: int,
-    fgh: Callable,  # x -> (f [R], g [R,k], w2 (opaque pytree), diag [R,k])
-    f_gtd: Callable,  # (trial, d, bd) -> (f [R], g(trial).d [R])
+    fgh: Callable,  # x -> (f [R], g [R,k], w2 (opaque), diag [R,k], px)
+    f_gtd_ray: Callable,  # (trial, d, alpha, px, pd) -> (f [R], g(t).d [R])
     hvp_with: Callable,  # (w2, fixed_mask) -> (V -> HV)
     bdot: Callable,  # d -> per-edge/plane <B, d> factors (once per LS)
     *,
@@ -89,13 +89,23 @@ def _tncg_core(
     true_row_mask: Optional[jnp.ndarray] = None,
     active_mask: Optional[jnp.ndarray] = None,
     ftol: float = TNC_FTOL,
+    trial_frac: float = 1.0,  # sweep-fraction cost of one ray trial
+    fgh_weight: float = 1.0,  # sweep cost of one fgh eval (incl. px write)
 ):
     """Backend-agnostic batched truncated-Newton driver (see module doc).
 
     ``max_outer`` may be a traced scalar so different outer-iteration caps
     (cascade round lengths, final unbounded rounds) share ONE compiled
     program; the unchanged-rows share is always computed (its cost is one
-    [R, k] diff pass, invisible next to the solve)."""
+    [R, k] diff pass, invisible next to the solve).
+
+    The line search is RAY-BASED: the step is capped at the distance to the
+    nearest bound along d (the reference's stepMax, tnc.c:795 — getptc
+    never evaluates beyond its xbnd, tnc.c:1861-1864), so the trial point
+    is exactly ``x + alpha*d`` and its predictions are the linear
+    combination ``px + alpha*pd`` of planes cached by ``fgh``/``bdot``.
+    Each trial therefore costs a fraction (``trial_frac``) of a full data
+    sweep instead of a whole one."""
     R, k = x0.shape
     dtype = x0.dtype
 
@@ -103,13 +113,14 @@ def _tncg_core(
     pgtol = 1e-2 * (rteps ** 0.5)  # tnc.c:431-433 with accuracy=rteps
     xtol = rteps
 
-    f0, g0, w20, diag0 = fgh(x0)
+    f0, g0, w20, diag0, px0 = fgh(x0)
     state0 = dict(
         x=x0,
         f=f0,
         g=g0,
         w2=w20,
         diag=diag0,
+        px=px0,
         nfeval=jnp.ones((R,), dtype=jnp.int32),
         active=(
             has_nnz & jnp.isfinite(f0)
@@ -120,8 +131,8 @@ def _tncg_core(
         # GLOBAL count of full plane/edge sweeps (every batched evaluation
         # reads the whole data structure regardless of per-row activity) —
         # the basis for the benchmark's achieved-bandwidth accounting.
-        # Init fgh = 1.
-        passes=jnp.ones((), dtype=jnp.float32),
+        # Init fgh (incl. its px plane write).
+        passes=jnp.full((), fgh_weight, dtype=jnp.float32),
     )
 
     def cond(s):
@@ -223,13 +234,18 @@ def _tncg_core(
         # --- derivative-informed line search (tnc.c linearSearch/getptc) ---
         # Acceptance is getptc-style: sufficient decrease on f (rmu=1e-4,
         # tnc.c:1734) plus the one-sided curvature condition
-        # g(trial).d >= eta * g(x).d (eta=0.25).  Each trial evaluates f AND
-        # the directional derivative, exactly like the reference's function
-        # calls inside getptc (tnc.c:1750-1772); the <B,d> factors are
-        # hoisted out of the trial loop (one extra plane/SDDMM pass total).
+        # g(trial).d >= eta * g(x).d (eta=0.25).  Every step is capped at
+        # ``spe`` — the distance to the nearest bound along d — exactly as
+        # the reference caps getptc at stepMax (tnc.c:795, xbnd at
+        # tnc.c:1861-1864); a step accepted AT the cap is the reference's
+        # newcon case (tnc.c:833-835, the new constraint is picked up by the
+        # next iteration's active-set logic).  Under the cap the trial is
+        # exactly x + alpha*d, so each trial's f and directional derivative
+        # come from the cached prediction planes (f_gtd_ray) at a fraction
+        # of a data sweep; only bdot's <B,d> pass reads the planes.
         # The initial step mirrors initialStep (tnc.c:1371-1382) with the
         # fmin=0 the reference passes (poismf.c:387): alpha0 = 2f/|g.d| when
-        # f > 0, capped at the distance to the nearest bound along d.
+        # f > 0, capped at spe.
         dginit = gtd
         spe = jnp.min(
             jnp.where(d < 0.0, x / jnp.maximum(-d, 1e-30), jnp.inf), axis=1
@@ -241,6 +257,7 @@ def _tncg_core(
         a0 = jnp.minimum(a0, spe)
         a0 = jnp.where(jnp.isfinite(a0) & (a0 > 0.0), a0, 1.0)
         bd = bdot(d)
+        px = s["px"]
 
         ls0 = dict(
             alpha=a0.astype(dtype),
@@ -261,15 +278,20 @@ def _tncg_core(
 
         def ls_body(t):
             alpha = t["alpha"]
+            # alpha <= spe, so the max(0, .) only cleans rounding residue
             trial = jnp.maximum(x + alpha[:, None] * d, 0.0)
-            f_t, gu = f_gtd(trial, d, bd)
+            f_t, gu = f_gtd_ray(trial, d, alpha, px, bd)
             suff = jnp.isfinite(f_t) & (f_t <= f + LS_RMU * alpha * dginit)
             # strong-Wolfe curvature: |g(trial).d| <= eta |g(x).d| - the
             # trial brackets getptc's 1-D stationary point rather than
             # accepting arbitrary overshoot
             curv_lo = gu >= TNC_ETA * dginit  # not still steeply descending
             curv_hi = gu <= -TNC_ETA * dginit  # not past the minimum
-            ok = suff & curv_lo & curv_hi
+            # at the bound with sufficient decrease and the 1-D minimum
+            # still ahead: take the bound step (the reference's newcon path,
+            # tnc.c:833-835)
+            at_cap = alpha >= spe * (1.0 - 1e-6)
+            ok = suff & ((curv_lo & curv_hi) | (at_cap & ~curv_lo))
             accept = t["searching"] & ok
             x_new = jnp.where(accept[:, None], trial, t["x_new"])
             f_new = jnp.where(accept, f_t, t["f_new"])
@@ -288,9 +310,15 @@ def _tncg_core(
             lo = jnp.where(searching & suff & ~curv_lo & curv_hi, alpha,
                            t["lo"])
             has_hi = jnp.isfinite(hi)
+            # extrapolation clamps to spe so the trial never crosses a bound
+            # (keeping the ray linearization exact); rows with spe = inf
+            # (no negative direction component) extrapolate freely
             alpha = jnp.where(
                 searching,
-                jnp.where(has_hi, 0.5 * (lo + hi), alpha * LS_EXTRAP),
+                jnp.where(
+                    has_hi, 0.5 * (lo + hi),
+                    jnp.minimum(alpha * LS_EXTRAP, spe),
+                ),
                 alpha,
             )
             return dict(alpha=alpha, lo=lo, hi=hi, found=t["found"] | accept,
@@ -307,6 +335,21 @@ def _tncg_core(
         x_next = jnp.where(
             ls["found"][:, None], ls["x_new"],
             jnp.where(fallback[:, None], ls["x_best"], x),
+        )
+        # addConstraint analog (tnc.c:1076-1084): a coordinate that moved
+        # toward the bound and landed within 10*eps*(1+|x|) of it is pivoted
+        # EXACTLY onto the bound.  Without this, a bound step accepted at
+        # spe leaves rounding residue (~eps*x) that keeps the coordinate
+        # "free": the next direction pushes it negative again, spe collapses
+        # to ~residue/|d|, and the microscopic step trips conv_x — rows
+        # terminate far short of the optimum (caught by the factors_single
+        # golden parity test).  Snapping flips the face, which also skips
+        # the convergence tests this iteration (the reference's newcon
+        # guard, tnc.c:906-907, via same_face below).
+        eps_dt = float(_np.finfo(_np.dtype(str(dtype))).eps)
+        snap_tol = 10.0 * eps_dt * (1.0 + jnp.abs(x))
+        x_next = jnp.where(
+            moved[:, None] & (d < 0.0) & (x_next <= snap_tol), 0.0, x_next
         )
         f_next = jnp.where(
             ls["found"], ls["f_new"], jnp.where(fallback, ls["f_best"], f)
@@ -335,15 +378,17 @@ def _tncg_core(
 
         # f/g/Hessian data at the accepted point, all in one fused pass
         # (+1 eval for rows that moved)
-        _, g_next, w2_next, diag_next = fgh(x_next)
+        _, g_next, w2_next, diag_next, px_next = fgh(x_next)
         nfe = ls["nfeval"] + moved.astype(jnp.int32)
 
         # sweeps this outer iteration: one per inner-CG HVP, one for the
-        # hoisted <B,d> (bdot), one per line-search trial, one for the
-        # f/g/Hessian refresh at the accepted point
+        # hoisted <B,d> (bdot), a trial_frac-weighted fraction per ray
+        # line-search trial, and fgh_weight for the f/g/Hessian refresh at
+        # the accepted point (incl. its px plane write)
         passes = (
             s["passes"] + cg["i"].astype(jnp.float32)
-            + ls["t"].astype(jnp.float32) + 2.0
+            + ls["t"].astype(jnp.float32) * trial_frac
+            + 1.0 + fgh_weight
         )
 
         return dict(
@@ -352,6 +397,7 @@ def _tncg_core(
             g=g_next,
             w2=w2_next,
             diag=diag_next,
+            px=px_next,
             nfeval=nfe,
             active=active_next,
             it=s["it"] + 1,
@@ -439,12 +485,20 @@ def _tncg_update_jit(
         return obj.poisson_fgh(Acur, B, X, Bsum, l2_reg, w_mult, nnz_chunk,
                                l2_in_f=l2_in_f)
 
-    def f_gtd(trial, d, bd):
-        return obj.poisson_f_gtd(trial, d, bd, B, X, Bsum, l2_reg, w_mult,
-                                 nnz_chunk, l2_in_f=l2_in_f)
+    def f_gtd_ray(trial, d, alpha, px, bd):
+        return obj.poisson_f_gtd_ray(trial, d, alpha, px, bd, X, Bsum,
+                                     l2_reg, w_mult, nnz_chunk,
+                                     l2_in_f=l2_in_f)
 
     def bdot(d):
         return obj.poisson_bdot(d, B, X)
+
+    # sweep-cost fractions for the achieved-bandwidth accounting: a full
+    # COO sweep streams rows+cols+vals (12 B/nnz) plus the k-vector B
+    # gather; a ray trial streams rows+vals+px+bd (16 B/nnz)
+    full_b = 4.0 * k + 12.0
+    trial_frac = 16.0 / full_b
+    fgh_weight = 1.0 + 8.0 / full_b  # + w2 and px writes
 
     def hvp_with(w2):
         def hvp(V):
@@ -461,10 +515,10 @@ def _tncg_update_jit(
     )
 
     x_final, share, out = _tncg_core(
-        x0, has_nnz, X.n_rows, fgh, f_gtd, hvp_with, bdot,
+        x0, has_nnz, X.n_rows, fgh, f_gtd_ray, hvp_with, bdot,
         maxupd=maxupd, max_outer=max_outer, maxcg=maxcg,
         x_prev_for_unchanged=jnp.where(has_nnz[:, None], A, 0.0),
-        ftol=ftol,
+        ftol=ftol, trial_frac=trial_frac, fgh_weight=fgh_weight,
     )
     return x_final, share, _stats_dict(out)
 
@@ -555,9 +609,9 @@ def _tncg_update_ell_jit(
         return ell_ops.fgh_ell(Acur, planes, ell, Bsum, l2_reg, w_mult,
                                l2_in_f=l2_in_f)
 
-    def f_gtd(trial, d, bd):
-        return ell_ops.f_gtd_ell(trial, d, bd, planes, ell, Bsum, l2_reg,
-                                 w_mult, l2_in_f=l2_in_f)
+    def f_gtd_ray(trial, d, alpha, pxs, bds):
+        return ell_ops.f_gtd_ray_ell(trial, d, alpha, pxs, bds, ell, Bsum,
+                                     l2_reg, w_mult, l2_in_f=l2_in_f)
 
     def bdot(d):
         return ell_ops.bdot_ell(d, planes, ell)
@@ -575,13 +629,21 @@ def _tncg_update_ell_jit(
         0.0,
     )
 
+    # sweep-cost fractions for the achieved-bandwidth accounting: a full
+    # plane sweep streams k*itemsize + 4 (vals) bytes per slot; a ray trial
+    # streams px+pd+vals f32 (12 B/slot)
+    it = planes[0].dtype.itemsize if planes else A_perm.dtype.itemsize
+    full_b = float(k * it + 4)
+    trial_frac = 12.0 / full_b
+    fgh_weight = 1.0 + 8.0 / full_b  # + w2 and px plane writes
+
     x_final, share, out = _tncg_core(
-        x0, has_nnz, ell.n_rows, fgh, f_gtd, hvp_with, bdot,
+        x0, has_nnz, ell.n_rows, fgh, f_gtd_ray, hvp_with, bdot,
         maxupd=maxupd, max_outer=max_outer, maxcg=maxcg,
         x_prev_for_unchanged=jnp.where(has_nnz[:, None], A_perm, 0.0),
         true_row_mask=has_nnz,  # ELL slots with nnz are exactly the true rows
         active_mask=active_mask,
-        ftol=ftol,
+        ftol=ftol, trial_frac=trial_frac, fgh_weight=fgh_weight,
     )
     return x_final, share, _stats_dict(out)
 

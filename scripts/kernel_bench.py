@@ -61,7 +61,7 @@ def main():
         return mix(a, g)
 
     def chain_fgh(a):
-        nll, g, d, w = pk.fgh_bucket(bg, vals, a)
+        nll, g, d, w, _ = pk.fgh_bucket(bg, vals, a)
         return mix(a, g + d)
 
     def chain_hvp(a):

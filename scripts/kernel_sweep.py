@@ -112,7 +112,7 @@ def main():
 
     def step_fgh(ops, a):
         bg, vals = ops
-        nll, g, d, w = pk.fgh_bucket(bg, vals, a)
+        nll, g, d, w, _ = pk.fgh_bucket(bg, vals, a)
         return mix(a, g + d)
 
     def step_hvp(ops, a):

@@ -56,8 +56,13 @@ def test_adaptive_plan_fit_matches_uniform(rng, monkeypatch):
     k = 6
     A0 = train.initialize_factors(2500, bu.n_rows_pad, k, r, np.float32)
     B0 = train.initialize_factors(150, bi.n_rows_pad, k, r, np.float32)
+    # max_cg=1 keeps convergence gradual: the ray line search (capped at the
+    # bound like the reference) otherwise drains the active set from ~full
+    # to ~nothing in one round, leaving no mid-size straggler tail for the
+    # tiny uniform caps to reject (a rejected tail must also be small enough
+    # for plan_compact_from_profile's cost gate to accept)
     p = train.FitParams(k=k, method="tncg", niter=4, l2_reg=10.0,
-                        maxupd=150)
+                        maxupd=150, max_cg=1)
 
     from poismf_tpu.ops import objective as obj
 

@@ -39,8 +39,8 @@ def _check_parity(by_user, A, B, n_u, n_i):
     def ref(x):
         return np.asarray(x)[:n_u][nz]
 
-    f_r, g_r, _, d_r = obj.poisson_fgh(A, B, by_user, Bsum, 1e2)
-    f_e, g_e, w2_e, d_e = ell_ops.fgh_ell(A_p, planes, ell, Bsum, 1e2)
+    f_r, g_r, _, d_r, _ = obj.poisson_fgh(A, B, by_user, Bsum, 1e2)
+    f_e, g_e, w2_e, d_e, _ = ell_ops.fgh_ell(A_p, planes, ell, Bsum, 1e2)
     np.testing.assert_allclose(unp(f_e), ref(f_r), rtol=5e-5, atol=1e-2)
     np.testing.assert_allclose(unp(g_e), ref(g_r), rtol=5e-5, atol=1e-2)
     np.testing.assert_allclose(unp(d_e), ref(d_r), rtol=5e-5, atol=1e-2)
@@ -236,8 +236,9 @@ def test_compact_selection_machinery(rng, monkeypatch):
     planes_c = ell_ops.gather_planes(B, compact)
     x_c = jnp.take(Ap, slot_map, axis=0)
 
-    f_full, g_full, _, d_full = ell_ops.fgh_ell(Ap, planes, ell, Bsum, 1e2)
-    f_c, g_c, _, d_c = ell_ops.fgh_ell(x_c, planes_c, compact, Bsum, 1e2)
+    f_full, g_full, _, d_full, _ = ell_ops.fgh_ell(Ap, planes, ell, Bsum,
+                                                   1e2)
+    f_c, g_c, _, d_c, _ = ell_ops.fgh_ell(x_c, planes_c, compact, Bsum, 1e2)
 
     sm = np.asarray(slot_map)
     real = sm != ell.n_rows_ell - 1
@@ -285,6 +286,46 @@ def test_compact_tail_fit_parity(rng):
     assert abs(llc - lln) / abs(llc) < 2e-2  # see test_ell_fit_matches_coo
 
 
+def test_ray_trial_matches_full_eval(rng):
+    """The ray linearization pred(x+a*d) = px + a*pd must reproduce the
+    full f_gtd evaluation exactly (up to fp) while the step stays within
+    the first bound crossing."""
+    rows, cols, vals = synth_counts(rng, n_users=180, n_items=70,
+                                    density=0.1)
+    by_user, _, A, B = _setup(rows, cols, vals, 180, 70)
+    ell = ell_ops.ell_from_counts(by_user)
+    planes = ell_ops.gather_planes(B, ell)
+    A_p = ell_ops.permute_rows(A, ell.perm)
+    Bsum = obj.make_bsum(B, 70, 0.1)
+
+    r = np.random.default_rng(3)
+    D_p = jnp.asarray(r.standard_normal(A_p.shape).astype(np.float32) * 0.05)
+    # keep every row inside its first bound crossing: alpha < spe
+    Ap_np, Dp_np = np.asarray(A_p), np.asarray(D_p)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        crossing = np.where(Dp_np < 0, Ap_np / np.maximum(-Dp_np, 1e-30),
+                            np.inf)
+    spe = np.min(crossing, axis=1)
+    alpha_np = np.minimum(0.9 * spe, 1.0).astype(np.float32)
+    alpha = jnp.asarray(np.where(np.isfinite(alpha_np), alpha_np, 1.0))
+
+    _, _, _, _, pxs = ell_ops.fgh_ell(A_p, planes, ell, Bsum, 1e2)
+    bds = ell_ops.bdot_ell(D_p, planes, ell)
+    trial = jnp.maximum(A_p + alpha[:, None] * D_p, 0.0)
+
+    f_full, gtd_full = ell_ops.f_gtd_ell(trial, D_p, bds, planes, ell,
+                                         Bsum, 1e2)
+    f_ray, gtd_ray = ell_ops.f_gtd_ray_ell(trial, D_p, alpha, pxs, bds,
+                                           ell, Bsum, 1e2)
+
+    ff, fr = np.asarray(f_full), np.asarray(f_ray)
+    m = np.isfinite(ff)
+    assert np.array_equal(m, np.isfinite(fr))
+    np.testing.assert_allclose(fr[m], ff[m], rtol=1e-4, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(gtd_ray), np.asarray(gtd_full),
+                               rtol=1e-3, atol=1e-1)
+
+
 def test_pallas_interpret_parity(rng, monkeypatch):
     """Pallas fused kernels (interpret mode) vs the jnp bucket path."""
     rows, cols, vals = synth_counts(rng, n_users=150, n_items=60,
@@ -295,21 +336,42 @@ def test_pallas_interpret_parity(rng, monkeypatch):
     A_p = ell_ops.permute_rows(A, ell.perm)
     Bsum = obj.make_bsum(B, 60, 0.1)
 
+    rngd = np.random.default_rng(7)
+    D_p = jnp.asarray(
+        rngd.standard_normal(A_p.shape).astype(np.float32) * 0.01
+    )
+    alpha = jnp.asarray(
+        rngd.uniform(0.1, 1.0, A_p.shape[0]).astype(np.float32)
+    )
+
     monkeypatch.setattr(ell_ops, "_PALLAS_MODE", "off")
-    f0, g0, w20, d0 = ell_ops.fgh_ell(A_p, planes, ell, Bsum, 1e2)
+    f0, g0, w20, d0, px0 = ell_ops.fgh_ell(A_p, planes, ell, Bsum, 1e2)
     h0 = ell_ops.hvp_ell(A_p, planes, ell, w20, 1e2)
     fo0 = ell_ops.f_ell(A_p, planes, ell, Bsum, 1e2)
+    bd0 = ell_ops.bdot_ell(D_p, planes, ell)
+    trial = A_p + alpha[:, None] * D_p
+    fr0, gt0 = ell_ops.f_gtd_ray_ell(trial, D_p, alpha, px0, bd0, ell,
+                                     Bsum, 1e2)
 
     monkeypatch.setattr(ell_ops, "_PALLAS_MODE", "interpret")
-    f1, g1, w21, d1 = ell_ops.fgh_ell(A_p, planes, ell, Bsum, 1e2)
+    f1, g1, w21, d1, px1 = ell_ops.fgh_ell(A_p, planes, ell, Bsum, 1e2)
     h1 = ell_ops.hvp_ell(A_p, planes, ell, w21, 1e2)
     fo1 = ell_ops.f_ell(A_p, planes, ell, Bsum, 1e2)
+    fr1, gt1 = ell_ops.f_gtd_ray_ell(trial, D_p, alpha, px1, bd0, ell,
+                                     Bsum, 1e2)
 
     np.testing.assert_allclose(f1, f0, rtol=1e-5, atol=1e-2)
     np.testing.assert_allclose(g1, g0, rtol=1e-5, atol=1e-2)
     np.testing.assert_allclose(d1, d0, rtol=1e-5, atol=1e-2)
     np.testing.assert_allclose(h1, h0, rtol=1e-4, atol=1e-1)
+    for a, b in zip(px1, px0):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-4)
     m = np.isfinite(np.asarray(fo0))
     np.testing.assert_allclose(
         np.asarray(fo1)[m], np.asarray(fo0)[m], rtol=1e-5, atol=1e-2
     )
+    mr = np.isfinite(np.asarray(fr0))
+    np.testing.assert_allclose(
+        np.asarray(fr1)[mr], np.asarray(fr0)[mr], rtol=1e-5, atol=1e-2
+    )
+    np.testing.assert_allclose(gt1, gt0, rtol=1e-4, atol=1e-1)
