@@ -904,7 +904,9 @@ def fg_ell(
         pred = jnp.sum(bg * A_T[:, None, :], axis=0)
         safe = jnp.maximum(pred, PRED_EPS)
         valid = b.vals > 0
-        logt = jnp.where(valid, b.vals * jnp.log(safe), 0.0)
+        # unfloored log: trial-grade f with inf/nan poisoning at pred <= 0
+        # (nonnegcg.c:223-226, 308); the gradient weights keep the floor
+        logt = jnp.where(valid, b.vals * jnp.log(pred), 0.0)
         w = jnp.where(valid, b.vals / safe, 0.0)
         neg_llks.append(-jnp.sum(logt, axis=0))
         grads.append(-jnp.sum(w[None] * bg, axis=1).T)

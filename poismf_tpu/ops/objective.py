@@ -109,8 +109,13 @@ def poisson_data_terms(
     def eval_chunk(row_ids, col_ids, vals):
         pred = sddmm(A, B, row_ids, col_ids)
         safe = jnp.maximum(pred, PRED_EPS)
-        # padding entries have vals == 0 -> contribute exactly 0
-        log_term = jnp.where(vals > 0, vals * jnp.log(safe), 0.0)
+        # padding entries have vals == 0 -> contribute exactly 0.  The log
+        # term is UNFLOORED so a non-positive prediction at a positive count
+        # poisons the row's f with inf/nan (the reference's Inf-rejected
+        # line search, nonnegcg.c:223-226, 308) — the CG solver evaluates
+        # fg AT line-search trials and accepts on this f.  Only the
+        # gradient weights keep the floor.
+        log_term = jnp.where(vals > 0, vals * jnp.log(pred), 0.0)
         w = jnp.where(vals > 0, vals / safe, 0.0)
         neg_llk = -segment_rowsum(log_term, row_ids, R)
         grad = -spmm(w, B, row_ids, col_ids, R)

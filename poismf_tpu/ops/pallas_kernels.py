@@ -162,7 +162,9 @@ def _fg_kernel(w_mult, bg_ref, vals_ref, at_ref, nll_ref, grad_ref):
     pred = jnp.sum(bg * a[:, None, :], axis=0)
     safe = jnp.maximum(pred, PRED_EPS)
     valid = vals > 0
-    logt = jnp.where(valid, vals * jnp.log(safe), 0.0)
+    # unfloored log: trial-grade f with inf/nan poisoning at pred <= 0
+    # (nonnegcg.c:223-226, 308); the gradient weights keep the floor
+    logt = jnp.where(valid, vals * jnp.log(pred), 0.0)
     w = jnp.where(valid, vals / safe, 0.0)
     nll_ref[...] += -jnp.sum(logt, axis=0)[None, :]
     grad_ref[...] += jnp.sum((-w)[None] * bg, axis=1)

@@ -53,17 +53,29 @@ def _cg_core(
     x0: jnp.ndarray,
     has_nnz: jnp.ndarray,
     fg,
-    f_only,
     *,
     maxupd: int,
     limit_step: bool,
     maxnfeval: int,
 ) -> jnp.ndarray:
-    """Backend-agnostic batched Li-2013 non-negative CG driver."""
+    """Backend-agnostic batched Li-2013 non-negative CG driver.
+
+    Evaluation is FUSED: every line-search trial computes (f, g) in one
+    pass — acceptance tests the trial's f (which carries the reference's
+    inf/nan poisoning at non-positive predictions), and the accepted
+    trial's g becomes the gradient the next iteration builds its direction
+    from.  The reference evaluates f at trials and re-evaluates the
+    gradient at the accepted point afterwards (nonnegcg.c:290-334); since
+    the accepted point IS the last successful trial, fusing halves the
+    data sweeps per iteration (2 -> ~1) with an identical iterate
+    trajectory.  The gradient computed at a rejected trial is discarded —
+    with the reference's lenient Armijo constant (c=0.01) first-trial
+    acceptance is the common case, so the waste is rare.
+    """
     R, k = x0.shape
     dtype = x0.dtype
 
-    f0 = f_only(x0)
+    f0, g0 = fg(x0)
     nfeval0 = jnp.ones((R,), dtype=jnp.int32)
     # rows with nan/inf initial objective terminate immediately
     # (nonnegcg.c:223-226); rows with no nonzeros are done (zeroed) already
@@ -72,13 +84,14 @@ def _cg_core(
     state0 = dict(
         x=x0,
         f=f0,
+        g=g0,
         it=jnp.zeros((), dtype=jnp.int32),
         grad_prev=jnp.zeros_like(x0),
         dir_prev=jnp.zeros_like(x0),
         gnorm_prev=jnp.ones((R,), dtype=dtype),
         nfeval=nfeval0,
         active=active0,
-        # GLOBAL full-sweep count (init f = 1); see tncg._tncg_core.passes
+        # GLOBAL full-sweep count (init fg = 1); see tncg._tncg_core.passes
         passes=jnp.ones((), dtype=jnp.float32),
     )
 
@@ -87,7 +100,7 @@ def _cg_core(
 
     def body(s):
         x, f, active = s["x"], s["f"], s["active"]
-        _, g = fg(x)
+        g = s["g"]  # gradient at x, carried from the fused trial eval
 
         nonpos = x <= 0.0
         d = jnp.where(nonpos & (g >= 0.0), 0.0, -g)
@@ -125,6 +138,7 @@ def _cg_core(
             found=jnp.zeros((R,), dtype=bool),
             x_new=x,
             f_new=f,
+            g_new=g,
             searching=active,
             nfeval=s["nfeval"],
             ls=jnp.zeros((), dtype=jnp.int32),
@@ -139,7 +153,10 @@ def _cg_core(
                 trial = jnp.where(trial >= EPS_LIMIT, trial, 0.0)
             else:
                 trial = jnp.maximum(trial, 0.0)
-            f_trial = f_only(trial)
+            # fused: the trial's f decides acceptance; its g (floored
+            # weights, finite even where f poisons) is kept on acceptance
+            # as the next iteration's gradient
+            f_trial, g_trial = fg(trial)
             ok = (
                 jnp.isfinite(f_trial)
                 & (f_trial <= f - CG_LNSRCH_C * t["step"] * dnorm_sq)
@@ -147,6 +164,7 @@ def _cg_core(
             accept = t["searching"] & ok
             x_new = jnp.where(accept[:, None], trial, t["x_new"])
             f_new = jnp.where(accept, f_trial, t["f_new"])
+            g_new = jnp.where(accept[:, None], g_trial, t["g_new"])
             found = t["found"] | accept
             rejected = t["searching"] & ~ok
             nfeval = t["nfeval"] + rejected.astype(jnp.int32)
@@ -154,27 +172,31 @@ def _cg_core(
             step = jnp.where(rejected, t["step"] * CG_DECR, t["step"])
             return dict(
                 step=step, found=found, x_new=x_new, f_new=f_new,
-                searching=searching, nfeval=nfeval, ls=t["ls"] + 1,
+                g_new=g_new, searching=searching, nfeval=nfeval,
+                ls=t["ls"] + 1,
             )
 
         ls = lax.while_loop(ls_cond, ls_body, ls0)
 
         x_next = jnp.where(ls["found"][:, None], ls["x_new"], x)
         f_next = jnp.where(ls["found"], ls["f_new"], f)
+        g_next = jnp.where(ls["found"][:, None], ls["g_new"], g)
         # rows that ran out of the nfeval budget terminate (stop_maxnfeval)
         active = active & (ls["nfeval"] < maxnfeval)
 
         return dict(
             x=x_next,
             f=f_next,
+            g=g_next,
             it=s["it"] + 1,
             grad_prev=g,
             dir_prev=d,
             gnorm_prev=jnp.maximum(jnp.sum(g * g, axis=1), 1e-30),
             nfeval=ls["nfeval"],
             active=active,
-            # one fg sweep + one f sweep per line-search trial
-            passes=s["passes"] + 1.0 + ls["ls"].astype(jnp.float32),
+            # one fused fg sweep per line-search trial (the gradient's
+            # extra [R, k] output write is invisible next to the planes)
+            passes=s["passes"] + ls["ls"].astype(jnp.float32),
         )
 
     out = lax.while_loop(cond, body, state0)
@@ -203,13 +225,10 @@ def _cg_update_jit(
     def fg(Acur):
         return obj.poisson_fg(Acur, B, X, Bsum, l2_reg, w_mult, nnz_chunk)
 
-    def f_only(Acur):
-        return obj.poisson_f(Acur, B, X, Bsum, l2_reg, w_mult, nnz_chunk)
-
     has_nnz = X.row_nnz > 0
     x0 = jnp.where(has_nnz[:, None], A, 0.0)
     x, passes = _cg_core(
-        x0, has_nnz, fg, f_only,
+        x0, has_nnz, fg,
         maxupd=maxupd, limit_step=limit_step, maxnfeval=maxnfeval,
     )
     return (x, passes) if return_passes else x
@@ -260,13 +279,10 @@ def _cg_update_ell_jit(
     def fg(Acur):
         return ell_ops.fg_ell(Acur, planes, ell, Bsum, l2_reg, w_mult)
 
-    def f_only(Acur):
-        return ell_ops.f_ell(Acur, planes, ell, Bsum, l2_reg, w_mult)
-
     has_nnz = ell.row_nnz_perm > 0
     x0 = jnp.where(has_nnz[:, None], A_perm, 0.0)
     x, passes = _cg_core(
-        x0, has_nnz, fg, f_only,
+        x0, has_nnz, fg,
         maxupd=maxupd, limit_step=limit_step, maxnfeval=maxnfeval,
     )
     return (x, passes) if return_passes else x

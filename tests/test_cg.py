@@ -120,3 +120,64 @@ def test_cg_fit_improves_llk(rng, limit_step):
     ll1 = float(eval_llk(A1, B1, by_user, include_missing=True))
     assert ll1 > ll0, (ll0, ll1)
     assert not bool(jnp.any(jnp.isnan(A1)))
+
+
+def test_fused_fg_poisons_row_zeroing_trial(rng):
+    """The fused (f, g) trial evaluation must keep the reference's
+    Inf-rejected line search (nonnegcg.c:223-226, 308): a trial that
+    zeroes a row's last positive coordinate has pred = 0 at positive
+    counts, so its f must be non-finite (rejected) while the gradient
+    stays finite (floored weights)."""
+    from poismf_tpu.ops.objective import poisson_fg
+
+    n_rows, n_cols, k = 4, 6, 5
+    rows, cols, vals = synth_counts(rng, n_rows, n_cols, density=0.5)
+    X = build_counts(rows, cols, vals, n_rows, n_cols, dtype=np.float32)
+    B = np.asarray(
+        0.3 + rng.uniform(0, 0.01, size=(n_cols, k)), dtype=np.float32
+    )
+    Bsum = make_bsum(jnp.asarray(B), n_cols, 0.0)
+    A = jnp.zeros((X.n_rows_pad, k), dtype=jnp.float32)  # all-zero rows
+    f, g = poisson_fg(A, jnp.asarray(B), X, Bsum, 0.5)
+    f = np.asarray(f)[:n_rows]
+    has = np.asarray(X.row_nnz)[:n_rows] > 0
+    assert np.any(has)
+    assert not np.any(np.isfinite(f[has])), f  # every nnz row poisoned
+    assert np.all(np.isfinite(np.asarray(g))), "gradient must stay finite"
+
+
+def test_fused_fg_ell_poisons_like_coo(rng):
+    """ELL-backend fg must poison identically to the flat-COO fg."""
+    from poismf_tpu.ops import ell as ell_ops
+    from poismf_tpu.ops.objective import poisson_fg
+
+    n_rows, n_cols, k = 30, 12, 4
+    rows, cols, vals = synth_counts(rng, n_rows, n_cols, density=0.3)
+    X = build_counts(rows, cols, vals, n_rows, n_cols, dtype=np.float32)
+    ell = ell_ops.ell_from_counts(X)
+    B = np.asarray(
+        0.3 + rng.uniform(0, 0.01, size=(n_cols, k)), dtype=np.float32
+    )
+    Bsum = make_bsum(jnp.asarray(B), n_cols, 0.0)
+    # zero out a few rows entirely -> those rows' f poisons in both backends
+    A = np.asarray(
+        0.3 + rng.uniform(0, 0.01, size=(X.n_rows_pad, k)), dtype=np.float32
+    )
+    A[1] = 0.0
+    A[7] = 0.0
+    A = jnp.asarray(A)
+    f_coo, g_coo = poisson_fg(A, jnp.asarray(B), X, Bsum, 0.5)
+    planes = ell_ops.gather_planes(jnp.asarray(B), ell)
+    A_perm = ell_ops.permute_rows(A, ell.perm)
+    f_ell_v, g_ell_v = ell_ops.fg_ell(A_perm, planes, ell, Bsum, 0.5)
+    f_back = np.asarray(jnp.take(f_ell_v, ell.inv_perm, axis=0))[:n_rows]
+    g_back = np.asarray(jnp.take(g_ell_v, ell.inv_perm, axis=0))[:n_rows]
+    f_ref = np.asarray(f_coo)[:n_rows]
+    has = np.asarray(X.row_nnz)[:n_rows] > 0
+    fin = np.isfinite(f_ref)
+    assert not np.any(fin[[1, 7]] & has[[1, 7]]) and np.any(has[[1, 7]])
+    assert np.array_equal(fin, np.isfinite(f_back))
+    np.testing.assert_allclose(f_back[fin], f_ref[fin], rtol=2e-4)
+    np.testing.assert_allclose(
+        g_back, np.asarray(g_coo)[:n_rows], rtol=2e-4, atol=1e-4
+    )
