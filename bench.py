@@ -587,6 +587,37 @@ def tempfile_dir():
     return tempfile.gettempdir()
 
 
+def _require_device(timeout_s: float = 180.0):
+    """Fail fast (machine-readable) when backend init hangs.
+
+    ``jax.devices()`` initializes every registered plugin; a dead TPU
+    tunnel blocks that call in native code FOREVER (observed in round 3:
+    three dryruns hung >9 min each with zero output).  Probe it from a
+    watchdog-supervised thread so an environment outage yields an error
+    artifact instead of a silent hang the driver cannot distinguish from
+    a slow benchmark."""
+    import threading
+
+    out = {}
+
+    def probe():
+        import jax
+
+        out["devices"] = list(jax.devices())
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "devices" not in out:
+        print(json.dumps({
+            "metric": "bench_error", "value": 0, "unit": "none",
+            "error": f"device init hung > {timeout_s:.0f}s "
+                     "(backend/tunnel unreachable)",
+        }), flush=True)
+        os._exit(3)
+    print(f"# devices: {out['devices']}", file=sys.stderr)
+
+
 def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
     scale = 1.0
@@ -603,6 +634,7 @@ def main(argv=None):
             mesh_n = int(a.split("=", 1)[1])
         elif a == "--quality" or a.startswith("--quality="):
             q_scale = (float(a.split("=", 1)[1]) if "=" in a else 0.25)
+            _require_device()
             cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "")
             if cache_dir:
                 import jax
@@ -633,6 +665,7 @@ def main(argv=None):
     print(f"# data: {rows.shape[0]} nnz in {time.time()-t0:.1f}s",
           file=sys.stderr)
 
+    _require_device()
     import jax
 
     if cache_dir:
