@@ -599,20 +599,30 @@ def _require_device(timeout_s: float = 180.0):
     import threading
 
     out = {}
+    done = threading.Event()
 
     def probe():
-        import jax
+        try:
+            import jax
 
-        out["devices"] = list(jax.devices())
+            out["devices"] = list(jax.devices())
+        except BaseException as e:  # report, don't misdiagnose as a hang
+            out["error"] = f"{type(e).__name__}: {e}"
+        finally:
+            done.set()
 
     t = threading.Thread(target=probe, daemon=True)
     t.start()
-    t.join(timeout_s)
+    done.wait(timeout_s)
     if "devices" not in out:
+        err = out.get(
+            "error",
+            f"device init hung > {timeout_s:.0f}s (backend/tunnel "
+            "unreachable)",
+        )
         print(json.dumps({
             "metric": "bench_error", "value": 0, "unit": "none",
-            "error": f"device init hung > {timeout_s:.0f}s "
-                     "(backend/tunnel unreachable)",
+            "error": err,
         }), flush=True)
         os._exit(3)
     print(f"# devices: {out['devices']}", file=sys.stderr)
@@ -645,6 +655,10 @@ def main(argv=None):
         if c not in CONFIGS:
             raise SystemExit(f"unknown config {c!r}")
 
+    # probe the backend BEFORE the (expensive) synthetic data generation so
+    # a dead tunnel fails in seconds, not after minutes of host work
+    _require_device()
+
     n_users = max(int(N_USERS * scale), 64)
     n_items = max(int(N_ITEMS * scale), 64)
     nnz = max(int(NNZ_TARGET * scale), 1024)
@@ -665,7 +679,6 @@ def main(argv=None):
     print(f"# data: {rows.shape[0]} nnz in {time.time()-t0:.1f}s",
           file=sys.stderr)
 
-    _require_device()
     import jax
 
     if cache_dir:

@@ -629,7 +629,7 @@ def _bucket_data_f_gtd(b: EllBucket, bg, A_T, bd_b):
     logt = jnp.where(b.vals > 0, b.vals * jnp.log(pred), 0.0)
     nll = -jnp.sum(logt, axis=0)
     ratio = jnp.where(
-        b.vals > 0, b.vals * bd_b / jnp.maximum(pred, 1e-12), 0.0
+        b.vals > 0, b.vals * bd_b / jnp.maximum(pred, PRED_EPS), 0.0
     )
     gud = jnp.sum(ratio, axis=0)
     return nll, gud
@@ -671,20 +671,10 @@ def f_gtd_ell(
         guds.append(gud)
     nll = _assemble(ell, nlls, (), dtype)
     gud = _assemble(ell, guds, (), dtype)
-    if w_mult != 1.0:
-        nll = w_mult * nll
-        gud = w_mult * gud
-    if Bsum.ndim == 1:
-        lin = A_perm @ Bsum
-        lin_d = D_perm @ Bsum
-    else:
-        lin = jnp.sum(A_perm * Bsum, axis=-1)
-        lin_d = jnp.sum(D_perm * Bsum, axis=-1)
-    if l2_in_f:
-        lin = lin + l2_reg * jnp.sum(A_perm * A_perm, axis=-1)
-    f = lin + nll
-    gtd = lin_d + 2.0 * l2_reg * jnp.sum(A_perm * D_perm, axis=-1) - gud
-    return f, gtd
+    from .objective import combine_f_gtd
+
+    return combine_f_gtd(nll, gud, A_perm, D_perm, Bsum, l2_reg, w_mult,
+                         l2_in_f)
 
 
 def _bucket_data_ray(b: EllBucket, px, pd, a_b):
@@ -749,20 +739,10 @@ def f_gtd_ray_ell(
         guds.append(gud)
     nll = _assemble(ell, nlls, (), dtype)
     gud = _assemble(ell, guds, (), dtype)
-    if w_mult != 1.0:
-        nll = w_mult * nll
-        gud = w_mult * gud
-    if Bsum.ndim == 1:
-        lin = trial @ Bsum
-        lin_d = D_perm @ Bsum
-    else:
-        lin = jnp.sum(trial * Bsum, axis=-1)
-        lin_d = jnp.sum(D_perm * Bsum, axis=-1)
-    if l2_in_f:
-        lin = lin + l2_reg * jnp.sum(trial * trial, axis=-1)
-    f = lin + nll
-    gtd = lin_d + 2.0 * l2_reg * jnp.sum(trial * D_perm, axis=-1) - gud
-    return f, gtd
+    from .objective import combine_f_gtd
+
+    return combine_f_gtd(nll, gud, trial, D_perm, Bsum, l2_reg, w_mult,
+                         l2_in_f)
 
 
 def _bucket_data_hvp(bg, w2, V_T):

@@ -193,6 +193,28 @@ def poisson_bdot(
     return sddmm(D, B, X.row_ids, X.col_ids)
 
 
+def combine_f_gtd(nll, gud, A_trial, D, Bsum, l2_reg, w_mult, l2_in_f):
+    """Shared tail of every (f, g.d) trial evaluation: fold the data terms
+    ``(nll, gud)`` with the linear/l2 parts into ``(f, gtd)``.  One
+    definition for the four call sites (full/ray x COO/ELL) so the
+    combination semantics — including the l2_in_f parity quirk — cannot
+    drift between them."""
+    if w_mult != 1.0:
+        nll = w_mult * nll
+        gud = w_mult * gud
+    if Bsum.ndim == 1:
+        lin = A_trial @ Bsum
+        lin_d = D @ Bsum
+    else:
+        lin = jnp.sum(A_trial * Bsum, axis=-1)
+        lin_d = jnp.sum(D * Bsum, axis=-1)
+    if l2_in_f:
+        lin = lin + l2_reg * jnp.sum(A_trial * A_trial, axis=-1)
+    f = lin + nll
+    gtd = lin_d + 2.0 * l2_reg * jnp.sum(A_trial * D, axis=-1) - gud
+    return f, gtd
+
+
 def poisson_f_gtd(
     A_trial: jnp.ndarray,
     D: jnp.ndarray,
@@ -248,20 +270,8 @@ def poisson_f_gtd(
             ),
         )
 
-    if w_mult != 1.0:
-        nll = w_mult * nll
-        gud = w_mult * gud
-    if Bsum.ndim == 1:
-        lin = A_trial @ Bsum
-        lin_d = D @ Bsum
-    else:
-        lin = jnp.sum(A_trial * Bsum, axis=-1)
-        lin_d = jnp.sum(D * Bsum, axis=-1)
-    if l2_in_f:
-        lin = lin + l2_reg * jnp.sum(A_trial * A_trial, axis=-1)
-    f = lin + nll
-    gtd = lin_d + 2.0 * l2_reg * jnp.sum(A_trial * D, axis=-1) - gud
-    return f, gtd
+    return combine_f_gtd(nll, gud, A_trial, D, Bsum, l2_reg, w_mult,
+                         l2_in_f)
 
 
 def poisson_f_gtd_ray(
@@ -320,20 +330,8 @@ def poisson_f_gtd_ray(
             ),
         )
 
-    if w_mult != 1.0:
-        nll = w_mult * nll
-        gud = w_mult * gud
-    if Bsum.ndim == 1:
-        lin = A_trial @ Bsum
-        lin_d = D @ Bsum
-    else:
-        lin = jnp.sum(A_trial * Bsum, axis=-1)
-        lin_d = jnp.sum(D * Bsum, axis=-1)
-    if l2_in_f:
-        lin = lin + l2_reg * jnp.sum(A_trial * A_trial, axis=-1)
-    f = lin + nll
-    gtd = lin_d + 2.0 * l2_reg * jnp.sum(A_trial * D, axis=-1) - gud
-    return f, gtd
+    return combine_f_gtd(nll, gud, A_trial, D, Bsum, l2_reg, w_mult,
+                         l2_in_f)
 
 
 def poisson_fg(
