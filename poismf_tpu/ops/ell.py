@@ -862,24 +862,27 @@ def fg_ell(
 ):
     """Objective + gradient only (no Hessian data) — the CG solver's
     evaluation (calc_fun_single / calc_grad_single, poismf.c:194-223,
-    batched).  Two linear reads of the planes."""
+    batched).  One streaming read of the planes; also returns the raw
+    per-bucket prediction planes ``px`` that seed the CG ray line search
+    (f_gtd_ray_ell): ``pred(x + a*d) = px + a*pd``."""
     import jax.numpy as jnp
 
     k = A_perm.shape[1]
     dtype = A_perm.dtype
-    neg_llks, grads = [], []
+    neg_llks, grads, preds = [], [], []
     mode = _pallas_state()
     for b, bg in zip(ell.buckets, planes):
         A_T = _bucket_x(A_perm, b).T
         if mode is not None and bg.dtype != jnp.float64:
             from . import pallas_kernels as pk
 
-            nll, gd = pk.fg_bucket(
+            nll, gd, pred = pk.fg_bucket(
                 bg, b.vals.astype(jnp.float32), A_T.astype(jnp.float32),
                 w_mult=1.0, interpret=(mode == "interpret"),
             )
             neg_llks.append(nll.astype(dtype))
             grads.append(gd.T.astype(dtype))
+            preds.append(pred.astype(dtype))
             continue
         pred = jnp.sum(bg * A_T[:, None, :], axis=0)
         safe = jnp.maximum(pred, PRED_EPS)
@@ -890,6 +893,7 @@ def fg_ell(
         w = jnp.where(valid, b.vals / safe, 0.0)
         neg_llks.append(-jnp.sum(logt, axis=0))
         grads.append(-jnp.sum(w[None] * bg, axis=1).T)
+        preds.append(pred)
     neg_llk = _assemble(ell, neg_llks, (), dtype)
     grad_data = _assemble(ell, grads, (k,), dtype)
     if w_mult != 1.0:
@@ -903,7 +907,7 @@ def fg_ell(
         g_lin = Bsum
     f = lin + l2_reg * jnp.sum(A_perm * A_perm, axis=-1) + neg_llk
     g = g_lin + 2.0 * l2_reg * A_perm + grad_data
-    return f, g
+    return f, g, tuple(preds)
 
 
 def pg_grad_ell(

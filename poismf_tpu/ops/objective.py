@@ -96,12 +96,14 @@ def poisson_data_terms(
     B: jnp.ndarray,
     X: CountsMatrix,
     nnz_chunk: Optional[int] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-row data terms of (f, grad):
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-row data terms of (f, grad), plus the per-edge predictions:
 
-    returns ``(neg_llk_data, grad_data)`` where
+    returns ``(neg_llk_data, grad_data, px)`` where
       neg_llk_data[r] = - sum_i x_ri * log(pred_ri)              [R_pad]
       grad_data[r]    = - sum_i (x_ri / pred_ri) * B[i]          [R_pad, k]
+      px[e]           = pred at edge e                           [nnz_pad]
+    ``px`` feeds the CG ray line search (pred(x + a*d) = px + a*<B,d>).
     """
     R = X.n_rows_pad
     chunk = _maybe_chunk(X.nnz_pad, nnz_chunk)
@@ -119,7 +121,7 @@ def poisson_data_terms(
         w = jnp.where(vals > 0, vals / safe, 0.0)
         neg_llk = -segment_rowsum(log_term, row_ids, R)
         grad = -spmm(w, B, row_ids, col_ids, R)
-        return neg_llk, grad
+        return neg_llk, grad, pred
 
     if chunk is None:
         return eval_chunk(X.row_ids, X.col_ids, X.vals)
@@ -129,8 +131,8 @@ def poisson_data_terms(
     def body(carry, xs):
         neg_llk, grad = carry
         r, c, v = xs
-        nl, g = eval_chunk(r, c, v)
-        return (neg_llk + nl, grad + g), None
+        nl, g, px_c = eval_chunk(r, c, v)
+        return (neg_llk + nl, grad + g), px_c
 
     init = (
         jnp.zeros((R,), dtype=A.dtype),
@@ -141,8 +143,8 @@ def poisson_data_terms(
         X.col_ids.reshape(n_chunks, chunk),
         X.vals.reshape(n_chunks, chunk),
     )
-    (neg_llk, grad), _ = lax.scan(body, init, xs)
-    return neg_llk, grad
+    (neg_llk, grad), pxs = lax.scan(body, init, xs)
+    return neg_llk, grad, pxs.reshape(-1)
 
 
 def poisson_f_data(
@@ -342,15 +344,17 @@ def poisson_fg(
     l2_reg: float,
     w_mult: float = 1.0,
     nnz_chunk: Optional[int] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Fused per-row objective and gradient for ALL rows at once.
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused per-row objective, gradient, and per-edge predictions for ALL
+    rows at once.
 
     ``Bsum`` is either ``[k]`` (shared; already includes l1) or ``[R_pad, k]``
     (per-row, for w_mult != 1 - see :func:`adjusted_bsum`).
 
-    Equivalent of calc_fun_and_grad (poismf.c:242-273) vmapped over rows.
+    Equivalent of calc_fun_and_grad (poismf.c:242-273) vmapped over rows;
+    the predictions ``px`` additionally seed the CG ray line search.
     """
-    neg_llk, grad_data = poisson_data_terms(A, B, X, nnz_chunk)
+    neg_llk, grad_data, px = poisson_data_terms(A, B, X, nnz_chunk)
     if w_mult != 1.0:
         neg_llk = w_mult * neg_llk
         grad_data = w_mult * grad_data
@@ -362,7 +366,7 @@ def poisson_fg(
         g_lin = Bsum
     f = lin + l2_reg * jnp.sum(A * A, axis=-1) + neg_llk
     g = g_lin + 2.0 * l2_reg * A + grad_data
-    return f, g
+    return f, g, px
 
 
 def poisson_f(

@@ -148,7 +148,8 @@ def fgh_bucket(bg, vals, a_t, w_mult: float = 1.0, interpret: bool = False):
 # ---------------------------------------------------------------------------
 
 
-def _fg_kernel(w_mult, bg_ref, vals_ref, at_ref, nll_ref, grad_ref):
+def _fg_kernel(w_mult, bg_ref, vals_ref, at_ref, nll_ref, grad_ref,
+               pred_ref):
     pj = pl.program_id(1)
 
     @pl.when(pj == 0)
@@ -168,6 +169,7 @@ def _fg_kernel(w_mult, bg_ref, vals_ref, at_ref, nll_ref, grad_ref):
     w = jnp.where(valid, vals / safe, 0.0)
     nll_ref[...] += -jnp.sum(logt, axis=0)[None, :]
     grad_ref[...] += jnp.sum((-w)[None] * bg, axis=1)
+    pred_ref[...] = pred  # cached planes for the CG ray line search
 
 
 @functools.partial(jax.jit, static_argnames=("w_mult", "interpret"))
@@ -191,14 +193,17 @@ def fg_bucket(bg, vals, a_t, w_mult: float = 1.0, interpret: bool = False):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((k, tr), lambda ri, pj: (0, ri),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((tp, tr), lambda ri, pj: (pj, ri),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((1, Rb), jnp.float32),
             jax.ShapeDtypeStruct((k, Rb), jnp.float32),
+            jax.ShapeDtypeStruct((P, Rb), jnp.float32),
         ],
         interpret=interpret,
     )(bg, vals, a_t)
-    return out[0][0], out[1]
+    return out[0][0], out[1], out[2]
 
 
 # ---------------------------------------------------------------------------

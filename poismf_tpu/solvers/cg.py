@@ -48,6 +48,12 @@ CG_DECR = 0.25
 CG_LNSRCH_C = 0.01
 CG_MAX_LS = 20
 
+# Cached-plane ray line search (see _cg_core): on by default wherever
+# limit_step keeps the ray exact; POISMF_CG_RAY=0 restores fused trials.
+import os as _os
+
+_CG_RAY_DEFAULT = _os.environ.get("POISMF_CG_RAY", "1") != "0"
+
 
 def _cg_core(
     x0: jnp.ndarray,
@@ -57,25 +63,51 @@ def _cg_core(
     maxupd: int,
     limit_step: bool,
     maxnfeval: int,
+    ray=None,
 ) -> jnp.ndarray:
     """Backend-agnostic batched Li-2013 non-negative CG driver.
 
-    Evaluation is FUSED: every line-search trial computes (f, g) in one
-    pass — acceptance tests the trial's f (which carries the reference's
-    inf/nan poisoning at non-positive predictions), and the accepted
-    trial's g becomes the gradient the next iteration builds its direction
-    from.  The reference evaluates f at trials and re-evaluates the
-    gradient at the accepted point afterwards (nonnegcg.c:290-334); since
-    the accepted point IS the last successful trial, fusing halves the
-    data sweeps per iteration (2 -> ~1) with an identical iterate
-    trajectory.  The gradient computed at a rejected trial is discarded —
-    with the reference's lenient Armijo constant (c=0.01) first-trial
-    acceptance is the common case, so the waste is rare.
+    Two statically-selected line-search evaluation modes:
+
+    * ``ray=None`` (FUSED): every trial computes (f, g) in one data pass —
+      acceptance tests the trial's f (which carries the reference's inf/nan
+      poisoning at non-positive predictions), and the accepted trial's g
+      becomes the gradient the next iteration builds its direction from.
+      The reference evaluates f at trials and re-evaluates the gradient at
+      the accepted point afterwards (nonnegcg.c:290-334); since the
+      accepted point IS the last successful trial, fusing halves the data
+      sweeps per iteration with an identical iterate trajectory.
+      ``fg: x -> (f, g)``.
+
+    * ``ray=(f_ray, bdot, trial_frac, fg_weight)`` (RAY): predictions are
+      linear in the factor vector, so along the search ray
+      ``pred(x + a*d) = px + a*<B,d>`` with ``px`` the prediction planes
+      cached by the previous full evaluation and ``<B,d>`` hoisted out of
+      the trial loop (one ``bdot`` plane pass per line search).  Each
+      trial then costs only a few [P,R]/[nnz] streams (``trial_frac`` of a
+      full sweep) instead of a full plane read; ONE full ``fg`` refresh at
+      the accepted point closes the iteration and writes the next px.
+      Batched line searches run ~5-12 trial rounds per iteration (the
+      max over rows), so this cuts CG's data traffic ~3x.  Requires
+      ``limit_step=True``: the step cap keeps the trial strictly within
+      the first bound crossing (nonnegcg.c:272-288), so the ray
+      linearization is exact (modulo the reference's own 1e-15 clamp).
+      ``fg: x -> (f, g, px)``; ``f_ray: (trial, d, alpha, px, bd) -> f``.
+
+    The iterate trajectory is identical between the modes up to fp
+    rounding (tested: test_cg.py::test_ray_matches_fused_trajectory).
     """
     R, k = x0.shape
     dtype = x0.dtype
-
-    f0, g0 = fg(x0)
+    use_ray = ray is not None
+    if use_ray:
+        assert limit_step, "ray trials require limit_step (no bound crossing)"
+        f_ray, bdot, trial_frac, fg_weight = ray
+        f0, g0, px0 = fg(x0)
+        passes0 = jnp.asarray(fg_weight, dtype=jnp.float32)
+    else:
+        f0, g0 = fg(x0)
+        passes0 = jnp.ones((), dtype=jnp.float32)
     nfeval0 = jnp.ones((R,), dtype=jnp.int32)
     # rows with nan/inf initial objective terminate immediately
     # (nonnegcg.c:223-226); rows with no nonzeros are done (zeroed) already
@@ -91,16 +123,18 @@ def _cg_core(
         gnorm_prev=jnp.ones((R,), dtype=dtype),
         nfeval=nfeval0,
         active=active0,
-        # GLOBAL full-sweep count (init fg = 1); see tncg._tncg_core.passes
-        passes=jnp.ones((), dtype=jnp.float32),
+        # GLOBAL full-sweep count; see tncg._tncg_core.passes
+        passes=passes0,
     )
+    if use_ray:
+        state0["px"] = px0
 
     def cond(s):
         return (s["it"] < maxupd) & jnp.any(s["active"])
 
     def body(s):
         x, f, active = s["x"], s["f"], s["active"]
-        g = s["g"]  # gradient at x, carried from the fused trial eval
+        g = s["g"]  # gradient at x, carried from the last full evaluation
 
         nonpos = x <= 0.0
         d = jnp.where(nonpos & (g >= 0.0), 0.0, -g)
@@ -132,17 +166,22 @@ def _cg_core(
 
         dnorm_sq = jnp.sum(d * d, axis=1)
 
+        if use_ray:
+            bd = bdot(d)  # <B,d> planes, ONE plane pass per line search
+            px = s["px"]
+
         # ---- batched backtracking line search ----
         ls0 = dict(
             step=max_step,
             found=jnp.zeros((R,), dtype=bool),
             x_new=x,
-            f_new=f,
-            g_new=g,
             searching=active,
             nfeval=s["nfeval"],
             ls=jnp.zeros((), dtype=jnp.int32),
         )
+        if not use_ray:
+            ls0["f_new"] = f
+            ls0["g_new"] = g
 
         def ls_cond(t):
             return (t["ls"] < CG_MAX_LS) & jnp.any(t["searching"])
@@ -153,38 +192,58 @@ def _cg_core(
                 trial = jnp.where(trial >= EPS_LIMIT, trial, 0.0)
             else:
                 trial = jnp.maximum(trial, 0.0)
-            # fused: the trial's f decides acceptance; its g (floored
-            # weights, finite even where f poisons) is kept on acceptance
-            # as the next iteration's gradient
-            f_trial, g_trial = fg(trial)
+            if use_ray:
+                # trial f from the cached prediction planes; full (f, g)
+                # is refreshed once at the accepted point after the loop
+                f_trial = f_ray(trial, d, t["step"], px, bd)
+            else:
+                # fused: the trial's f decides acceptance; its g (floored
+                # weights, finite even where f poisons) is kept on
+                # acceptance as the next iteration's gradient
+                f_trial, g_trial = fg(trial)
             ok = (
                 jnp.isfinite(f_trial)
                 & (f_trial <= f - CG_LNSRCH_C * t["step"] * dnorm_sq)
             )
             accept = t["searching"] & ok
             x_new = jnp.where(accept[:, None], trial, t["x_new"])
-            f_new = jnp.where(accept, f_trial, t["f_new"])
-            g_new = jnp.where(accept[:, None], g_trial, t["g_new"])
             found = t["found"] | accept
             rejected = t["searching"] & ~ok
             nfeval = t["nfeval"] + rejected.astype(jnp.int32)
             searching = rejected & (nfeval < maxnfeval)
             step = jnp.where(rejected, t["step"] * CG_DECR, t["step"])
-            return dict(
-                step=step, found=found, x_new=x_new, f_new=f_new,
-                g_new=g_new, searching=searching, nfeval=nfeval,
+            nxt = dict(
+                step=step, found=found, x_new=x_new,
+                searching=searching, nfeval=nfeval,
                 ls=t["ls"] + 1,
             )
+            if not use_ray:
+                nxt["f_new"] = jnp.where(accept, f_trial, t["f_new"])
+                nxt["g_new"] = jnp.where(accept[:, None], g_trial,
+                                         t["g_new"])
+            return nxt
 
         ls = lax.while_loop(ls_cond, ls_body, ls0)
 
         x_next = jnp.where(ls["found"][:, None], ls["x_new"], x)
-        f_next = jnp.where(ls["found"], ls["f_new"], f)
-        g_next = jnp.where(ls["found"][:, None], ls["g_new"], g)
+        n_trials = ls["ls"].astype(jnp.float32)
+        if use_ray:
+            # one full refresh at the accepted point (unmoved rows
+            # recompute their unchanged values); writes the next px
+            f_next, g_next, px_next = fg(x_next)
+            passes_next = (
+                s["passes"] + 1.0 + n_trials * trial_frac + fg_weight
+            )
+        else:
+            f_next = jnp.where(ls["found"], ls["f_new"], f)
+            g_next = jnp.where(ls["found"][:, None], ls["g_new"], g)
+            # one fused fg sweep per line-search trial (the gradient's
+            # extra [R, k] output write is invisible next to the planes)
+            passes_next = s["passes"] + n_trials
         # rows that ran out of the nfeval budget terminate (stop_maxnfeval)
         active = active & (ls["nfeval"] < maxnfeval)
 
-        return dict(
+        nxt = dict(
             x=x_next,
             f=f_next,
             g=g_next,
@@ -194,10 +253,11 @@ def _cg_core(
             gnorm_prev=jnp.maximum(jnp.sum(g * g, axis=1), 1e-30),
             nfeval=ls["nfeval"],
             active=active,
-            # one fused fg sweep per line-search trial (the gradient's
-            # extra [R, k] output write is invisible next to the planes)
-            passes=s["passes"] + ls["ls"].astype(jnp.float32),
+            passes=passes_next,
         )
+        if use_ray:
+            nxt["px"] = px_next
+        return nxt
 
     out = lax.while_loop(cond, body, state0)
     return out["x"], out["passes"]
@@ -206,7 +266,7 @@ def _cg_core(
 @functools.partial(
     jax.jit,
     static_argnames=("maxupd", "limit_step", "w_mult", "nnz_chunk",
-                     "maxnfeval", "return_passes"),
+                     "maxnfeval", "return_passes", "use_ray"),
 )
 def _cg_update_jit(
     A: jnp.ndarray,
@@ -221,15 +281,39 @@ def _cg_update_jit(
     nnz_chunk: Optional[int],
     maxnfeval: int,
     return_passes: bool,
+    use_ray: bool,
 ):
-    def fg(Acur):
+    k = A.shape[1]
+
+    def fg3(Acur):
         return obj.poisson_fg(Acur, B, X, Bsum, l2_reg, w_mult, nnz_chunk)
+
+    ray = None
+    fg = fg3
+    if use_ray:
+        def f_ray(trial, d, alpha, px, bd):
+            return obj.poisson_f_gtd_ray(
+                trial, d, alpha, px, bd, X, Bsum, l2_reg, w_mult, nnz_chunk
+            )[0]
+
+        def bdot(d):
+            return obj.poisson_bdot(d, B, X)
+
+        # sweep-cost fractions for the achieved-bandwidth accounting: a
+        # full COO sweep streams rows+cols+vals (12 B/nnz) plus the
+        # k-vector B gather; a ray trial streams rows+vals+px+bd
+        # (16 B/nnz); fg additionally writes px (4 B/nnz)
+        full_b = 4.0 * k + 12.0
+        ray = (f_ray, bdot, 16.0 / full_b, 1.0 + 4.0 / full_b)
+    else:
+        def fg(Acur):  # noqa: F811 - fused mode wants the 2-tuple
+            return fg3(Acur)[:2]
 
     has_nnz = X.row_nnz > 0
     x0 = jnp.where(has_nnz[:, None], A, 0.0)
     x, passes = _cg_core(
         x0, has_nnz, fg,
-        maxupd=maxupd, limit_step=limit_step, maxnfeval=maxnfeval,
+        maxupd=maxupd, limit_step=limit_step, maxnfeval=maxnfeval, ray=ray,
     )
     return (x, passes) if return_passes else x
 
@@ -247,21 +331,26 @@ def cg_update(
     nnz_chunk: Optional[int] = None,
     maxnfeval: int = CG_MAXNFEVAL,
     return_passes: bool = False,
+    use_ray: Optional[bool] = None,
 ):
     """Run up to ``maxupd`` batched CG iterations on every row of A
     (flat-COO backend).  ``return_passes=True`` additionally returns the
-    global full-sweep count (bandwidth accounting)."""
+    global full-sweep count (bandwidth accounting).  ``use_ray`` selects
+    the cached-plane ray line search (default: on whenever ``limit_step``
+    keeps the ray exact; ``POISMF_CG_RAY=0`` disables)."""
+    if use_ray is None:
+        use_ray = limit_step and _CG_RAY_DEFAULT
     return _cg_update_jit(
         A, B, X, Bsum, l2_reg=l2_reg, w_mult=w_mult, maxupd=maxupd,
         limit_step=limit_step, nnz_chunk=nnz_chunk, maxnfeval=maxnfeval,
-        return_passes=return_passes,
+        return_passes=return_passes, use_ray=bool(use_ray),
     )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("maxupd", "limit_step", "w_mult", "maxnfeval",
-                     "return_passes"),
+                     "return_passes", "use_ray"),
 )
 def _cg_update_ell_jit(
     A_perm: jnp.ndarray,
@@ -275,15 +364,39 @@ def _cg_update_ell_jit(
     limit_step: bool,
     maxnfeval: int,
     return_passes: bool,
+    use_ray: bool,
 ):
-    def fg(Acur):
+    k = A_perm.shape[1]
+
+    def fg3(Acur):
         return ell_ops.fg_ell(Acur, planes, ell, Bsum, l2_reg, w_mult)
+
+    ray = None
+    fg = fg3
+    if use_ray:
+        def f_ray(trial, d, alpha, pxs, bds):
+            return ell_ops.f_gtd_ray_ell(
+                trial, d, alpha, pxs, bds, ell, Bsum, l2_reg, w_mult
+            )[0]
+
+        def bdot(d):
+            return ell_ops.bdot_ell(d, planes, ell)
+
+        # sweep-cost fractions: a full plane sweep streams k*itemsize + 4
+        # (vals) bytes per slot; a ray trial streams px+pd+vals f32
+        # (12 B/slot); fg additionally writes the px plane (4 B/slot)
+        it = planes[0].dtype.itemsize if planes else A_perm.dtype.itemsize
+        full_b = float(k * it + 4)
+        ray = (f_ray, bdot, 12.0 / full_b, 1.0 + 4.0 / full_b)
+    else:
+        def fg(Acur):  # noqa: F811 - fused mode wants the 2-tuple
+            return fg3(Acur)[:2]
 
     has_nnz = ell.row_nnz_perm > 0
     x0 = jnp.where(has_nnz[:, None], A_perm, 0.0)
     x, passes = _cg_core(
         x0, has_nnz, fg,
-        maxupd=maxupd, limit_step=limit_step, maxnfeval=maxnfeval,
+        maxupd=maxupd, limit_step=limit_step, maxnfeval=maxnfeval, ray=ray,
     )
     return (x, passes) if return_passes else x
 
@@ -300,11 +413,15 @@ def cg_update_ell(
     limit_step: bool = True,
     maxnfeval: int = CG_MAXNFEVAL,
     return_passes: bool = False,
+    use_ray: Optional[bool] = None,
 ):
     """CG iterations on the gather-free planar-ELL backend (permuted rows;
-    ``planes`` from :func:`poismf_tpu.ops.ell.gather_planes`)."""
+    ``planes`` from :func:`poismf_tpu.ops.ell.gather_planes`).  ``use_ray``
+    as in :func:`cg_update`."""
+    if use_ray is None:
+        use_ray = limit_step and _CG_RAY_DEFAULT
     return _cg_update_ell_jit(
         A_perm, planes, ell, Bsum, l2_reg=l2_reg, w_mult=w_mult,
         maxupd=maxupd, limit_step=limit_step, maxnfeval=maxnfeval,
-        return_passes=return_passes,
+        return_passes=return_passes, use_ray=bool(use_ray),
     )

@@ -57,7 +57,7 @@ def main():
         return mix(a, (nll + gud)[None, :])
 
     def chain_fg(a):
-        nll, g = pk.fg_bucket(bg, vals, a)
+        nll, g, _ = pk.fg_bucket(bg, vals, a)
         return mix(a, g)
 
     def chain_fgh(a):

@@ -352,6 +352,7 @@ def test_pallas_interpret_parity(rng, monkeypatch):
     trial = A_p + alpha[:, None] * D_p
     fr0, gt0 = ell_ops.f_gtd_ray_ell(trial, D_p, alpha, px0, bd0, ell,
                                      Bsum, 1e2)
+    cf0, cg0, cpx0 = ell_ops.fg_ell(A_p, planes, ell, Bsum, 1e2)
 
     monkeypatch.setattr(ell_ops, "_PALLAS_MODE", "interpret")
     f1, g1, w21, d1, px1 = ell_ops.fgh_ell(A_p, planes, ell, Bsum, 1e2)
@@ -359,6 +360,7 @@ def test_pallas_interpret_parity(rng, monkeypatch):
     fo1 = ell_ops.f_ell(A_p, planes, ell, Bsum, 1e2)
     fr1, gt1 = ell_ops.f_gtd_ray_ell(trial, D_p, alpha, px1, bd0, ell,
                                      Bsum, 1e2)
+    cf1, cg1, cpx1 = ell_ops.fg_ell(A_p, planes, ell, Bsum, 1e2)
 
     np.testing.assert_allclose(f1, f0, rtol=1e-5, atol=1e-2)
     np.testing.assert_allclose(g1, g0, rtol=1e-5, atol=1e-2)
@@ -375,3 +377,11 @@ def test_pallas_interpret_parity(rng, monkeypatch):
         np.asarray(fr1)[mr], np.asarray(fr0)[mr], rtol=1e-5, atol=1e-2
     )
     np.testing.assert_allclose(gt1, gt0, rtol=1e-4, atol=1e-1)
+    # CG's fused (f, g, px) evaluation
+    mc = np.isfinite(np.asarray(cf0))
+    np.testing.assert_allclose(
+        np.asarray(cf1)[mc], np.asarray(cf0)[mc], rtol=1e-5, atol=1e-2
+    )
+    np.testing.assert_allclose(cg1, cg0, rtol=1e-5, atol=1e-2)
+    for a, b in zip(cpx1, cpx0):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-4)

@@ -49,7 +49,7 @@ def test_poisson_fg_matches_numpy(rng, w_mult, nnz_chunk):
     else:
         bsum_in = obj.adjusted_bsum(jnp.asarray(B), jnp.asarray(Bsum), X, w_mult)
 
-    f, g = obj.poisson_fg(
+    f, g, _ = obj.poisson_fg(
         jnp.asarray(A_pad), jnp.asarray(B), X, bsum_in, l2, w_mult, nnz_chunk
     )
     f, g = np.asarray(f), np.asarray(g)
@@ -82,7 +82,7 @@ def test_poisson_f_only_matches_fg(rng):
     A_pad = np.zeros((X.n_rows_pad, A.shape[1]), dtype=np.float32)
     A_pad[: A.shape[0]] = A
     Bsum = jnp.asarray(np.sum(B, axis=0))
-    f1, _ = obj.poisson_fg(jnp.asarray(A_pad), jnp.asarray(B), X, Bsum, 0.5)
+    f1 = obj.poisson_fg(jnp.asarray(A_pad), jnp.asarray(B), X, Bsum, 0.5)[0]
     f2 = obj.poisson_f(jnp.asarray(A_pad), jnp.asarray(B), X, Bsum, 0.5)
     np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), rtol=1e-5)
 
@@ -118,7 +118,7 @@ def test_hvp_matches_jax_autodiff(rng):
     hv = obj.poisson_hvp(jnp.asarray(V), jnp.asarray(B), X, w2, l2)
 
     def total_f(Amat):
-        f, _ = obj.poisson_fg(Amat, jnp.asarray(B), X, Bsum, l2)
+        f = obj.poisson_fg(Amat, jnp.asarray(B), X, Bsum, l2)[0]
         return jnp.sum(f)
 
     grad_fn = jax.grad(total_f)
