@@ -55,6 +55,7 @@ def main():
     )
     a0 = jax.random.uniform(k3, (k, Rb), jnp.float32, 0.1, 1.0)
     bd = jax.random.uniform(k4, (P, Rb), jnp.float32, -0.5, 0.5)
+    px = jax.random.uniform(k4, (P, Rb), jnp.float32, 0.5, 1.5)
     plane_gb = (bg.size * bg.dtype.itemsize + vals.size * 4) / 1e9
     print(f"# [k={k} P={P} Rb={Rb}] plane {plane_gb * 1e3:.0f} MB; "
           f"iters={iters}; peak 819 GB/s", flush=True)
@@ -110,6 +111,11 @@ def main():
         nll, gud = pk.f_gtd_bucket(bg, vals, a, bd)
         return mix(a, (nll + gud)[None, :])
 
+    def step_fg(ops, a):
+        bg, vals = ops
+        nll, g, px = pk.fg_bucket(bg, vals, a)
+        return mix(a, g + nll[None, :] + jnp.sum(px, axis=0)[None, :] * 1e-6)
+
     def step_fgh(ops, a):
         bg, vals = ops
         nll, g, d, w, _ = pk.fgh_bucket(bg, vals, a)
@@ -118,6 +124,12 @@ def main():
     def step_hvp(ops, a):
         bg, w2 = ops
         return mix(a, pk.hvp_bucket(bg, w2, a))
+
+    def step_ray(ops, a):
+        px, pd, vals = ops
+        alpha = jnp.abs(a[:1]) * 1e-2  # [1, Rb] per-row step
+        nll, gud = pk.ray_bucket(px, pd, vals, alpha)
+        return mix(a, (nll + gud)[None, :])
 
     for tile_r in (256, 512, 1024):
         for tile_p in (8, 16, 32, 64):
@@ -136,16 +148,24 @@ def main():
                 continue
             jax.clear_caches()
             out = []
-            for name, fn, ops in [
-                ("f", step_f, (bg, vals)),
-                ("f_gtd", step_f_gtd, (bg, vals, bd)),
-                ("fgh", step_fgh, (bg, vals)),
-                ("hvp", step_hvp, (bg, bd)),
+            # per-kernel HBM bytes actually moved (reads + plane writes),
+            # so GB/s figures are comparable across kernels with different
+            # output mixes
+            slots = P * Rb
+            bg_b = bg.size * bg.dtype.itemsize
+            for name, fn, ops, gb in [
+                ("f", step_f, (bg, vals), (bg_b + 4 * slots) / 1e9),
+                ("f_gtd", step_f_gtd, (bg, vals, bd),
+                 (bg_b + 8 * slots) / 1e9),
+                ("fg", step_fg, (bg, vals), (bg_b + 8 * slots) / 1e9),
+                ("fgh", step_fgh, (bg, vals), (bg_b + 12 * slots) / 1e9),
+                ("hvp", step_hvp, (bg, bd), (bg_b + 4 * slots) / 1e9),
+                ("ray", step_ray, (px, bd, vals), 12 * slots / 1e9),
             ]:
                 try:
                     dt = timed_loop(fn, ops, a0, iters, 1e-3)
                     out.append(f"{name} {dt * 1e3:6.2f}ms "
-                               f"{plane_gb / dt:4.0f}GB/s")
+                               f"{gb / dt:4.0f}GB/s")
                 except Exception:
                     out.append(f"{name}   OOM/ERR   ")
             print(f"tile_r={tile_r:4d} tile_p={tile_p:2d}  "
