@@ -859,12 +859,15 @@ def fg_ell(
     Bsum,
     l2_reg: float,
     w_mult: float = 1.0,
+    want_px: bool = True,
 ):
     """Objective + gradient only (no Hessian data) — the CG solver's
     evaluation (calc_fun_single / calc_grad_single, poismf.c:194-223,
     batched).  One streaming read of the planes; also returns the raw
     per-bucket prediction planes ``px`` that seed the CG ray line search
-    (f_gtd_ray_ell): ``pred(x + a*d) = px + a*pd``."""
+    (f_gtd_ray_ell): ``pred(x + a*d) = px + a*pd``.  ``want_px=False``
+    (fused, non-ray callers) returns px=None and skips the pallas
+    prediction-plane write (a real HBM output XLA cannot eliminate)."""
     import jax.numpy as jnp
 
     k = A_perm.shape[1]
@@ -878,11 +881,13 @@ def fg_ell(
 
             nll, gd, pred = pk.fg_bucket(
                 bg, b.vals.astype(jnp.float32), A_T.astype(jnp.float32),
-                w_mult=1.0, interpret=(mode == "interpret"),
+                w_mult=1.0, want_pred=want_px,
+                interpret=(mode == "interpret"),
             )
             neg_llks.append(nll.astype(dtype))
             grads.append(gd.T.astype(dtype))
-            preds.append(pred.astype(dtype))
+            if want_px:
+                preds.append(pred.astype(dtype))
             continue
         pred = jnp.sum(bg * A_T[:, None, :], axis=0)
         safe = jnp.maximum(pred, PRED_EPS)
@@ -893,7 +898,8 @@ def fg_ell(
         w = jnp.where(valid, b.vals / safe, 0.0)
         neg_llks.append(-jnp.sum(logt, axis=0))
         grads.append(-jnp.sum(w[None] * bg, axis=1).T)
-        preds.append(pred)
+        if want_px:
+            preds.append(pred)
     neg_llk = _assemble(ell, neg_llks, (), dtype)
     grad_data = _assemble(ell, grads, (k,), dtype)
     if w_mult != 1.0:
@@ -907,7 +913,7 @@ def fg_ell(
         g_lin = Bsum
     f = lin + l2_reg * jnp.sum(A_perm * A_perm, axis=-1) + neg_llk
     g = g_lin + 2.0 * l2_reg * A_perm + grad_data
-    return f, g, tuple(preds)
+    return f, g, (tuple(preds) if want_px else None)
 
 
 def pg_grad_ell(

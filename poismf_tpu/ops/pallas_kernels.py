@@ -148,8 +148,8 @@ def fgh_bucket(bg, vals, a_t, w_mult: float = 1.0, interpret: bool = False):
 # ---------------------------------------------------------------------------
 
 
-def _fg_kernel(w_mult, bg_ref, vals_ref, at_ref, nll_ref, grad_ref,
-               pred_ref):
+def _fg_kernel(w_mult, want_pred, bg_ref, vals_ref, at_ref, nll_ref,
+               grad_ref, pred_ref=None):
     pj = pl.program_id(1)
 
     @pl.when(pj == 0)
@@ -169,16 +169,37 @@ def _fg_kernel(w_mult, bg_ref, vals_ref, at_ref, nll_ref, grad_ref,
     w = jnp.where(valid, vals / safe, 0.0)
     nll_ref[...] += -jnp.sum(logt, axis=0)[None, :]
     grad_ref[...] += jnp.sum((-w)[None] * bg, axis=1)
-    pred_ref[...] = pred  # cached planes for the CG ray line search
+    if want_pred:
+        pred_ref[...] = pred  # cached planes for the CG ray line search
 
 
-@functools.partial(jax.jit, static_argnames=("w_mult", "interpret"))
-def fg_bucket(bg, vals, a_t, w_mult: float = 1.0, interpret: bool = False):
+@functools.partial(
+    jax.jit, static_argnames=("w_mult", "want_pred", "interpret")
+)
+def fg_bucket(bg, vals, a_t, w_mult: float = 1.0, want_pred: bool = True,
+              interpret: bool = False):
+    """``want_pred=False`` (the fused, non-ray CG mode) skips the [P, Rb]
+    prediction-plane output — pallas outputs are real HBM writes that XLA
+    cannot dead-code-eliminate, ~4 B/slot of avoidable traffic per trial."""
     k, P, Rb = bg.shape
     tp, tr = _tiles(P, Rb, k, bg.dtype.itemsize)
     grid = (Rb // tr, P // tp)
+    out_specs = [
+        pl.BlockSpec((1, tr), lambda ri, pj: (0, ri),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((k, tr), lambda ri, pj: (0, ri),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((1, Rb), jnp.float32),
+        jax.ShapeDtypeStruct((k, Rb), jnp.float32),
+    ]
+    if want_pred:
+        out_specs.append(pl.BlockSpec((tp, tr), lambda ri, pj: (pj, ri),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((P, Rb), jnp.float32))
     out = pl.pallas_call(
-        functools.partial(_fg_kernel, w_mult),
+        functools.partial(_fg_kernel, w_mult, want_pred),
         grid=grid,
         in_specs=[
             pl.BlockSpec((k, tp, tr), lambda ri, pj: (0, pj, ri),
@@ -188,22 +209,11 @@ def fg_bucket(bg, vals, a_t, w_mult: float = 1.0, interpret: bool = False):
             pl.BlockSpec((k, tr), lambda ri, pj: (0, ri),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, tr), lambda ri, pj: (0, ri),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, tr), lambda ri, pj: (0, ri),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tp, tr), lambda ri, pj: (pj, ri),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((1, Rb), jnp.float32),
-            jax.ShapeDtypeStruct((k, Rb), jnp.float32),
-            jax.ShapeDtypeStruct((P, Rb), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(bg, vals, a_t)
-    return out[0][0], out[1], out[2]
+    return out[0][0], out[1], (out[2] if want_pred else None)
 
 
 # ---------------------------------------------------------------------------

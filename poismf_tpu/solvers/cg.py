@@ -52,7 +52,10 @@ CG_MAX_LS = 20
 # limit_step keeps the ray exact; POISMF_CG_RAY=0 restores fused trials.
 import os as _os
 
-_CG_RAY_DEFAULT = _os.environ.get("POISMF_CG_RAY", "1") != "0"
+
+def _cg_ray_default() -> bool:
+    # read per call, not at import: harnesses set the env var after import
+    return _os.environ.get("POISMF_CG_RAY", "1") != "0"
 
 
 def _cg_core(
@@ -100,8 +103,12 @@ def _cg_core(
     R, k = x0.shape
     dtype = x0.dtype
     use_ray = ray is not None
+    if use_ray and not limit_step:
+        # hard error (not assert: -O must not strip it) — without the step
+        # cap a trial clips against the bounds mid-ray, px + a*<B,d> no
+        # longer equals pred(trial), and acceptance tests a wrong objective
+        raise ValueError("ray trials require limit_step (no bound crossing)")
     if use_ray:
-        assert limit_step, "ray trials require limit_step (no bound crossing)"
         f_ray, bdot, trial_frac, fg_weight = ray
         f0, g0, px0 = fg(x0)
         passes0 = jnp.asarray(fg_weight, dtype=jnp.float32)
@@ -339,7 +346,7 @@ def cg_update(
     the cached-plane ray line search (default: on whenever ``limit_step``
     keeps the ray exact; ``POISMF_CG_RAY=0`` disables)."""
     if use_ray is None:
-        use_ray = limit_step and _CG_RAY_DEFAULT
+        use_ray = limit_step and _cg_ray_default()
     return _cg_update_jit(
         A, B, X, Bsum, l2_reg=l2_reg, w_mult=w_mult, maxupd=maxupd,
         limit_step=limit_step, nnz_chunk=nnz_chunk, maxnfeval=maxnfeval,
@@ -390,7 +397,10 @@ def _cg_update_ell_jit(
         ray = (f_ray, bdot, 12.0 / full_b, 1.0 + 4.0 / full_b)
     else:
         def fg(Acur):  # noqa: F811 - fused mode wants the 2-tuple
-            return fg3(Acur)[:2]
+            # want_px=False also skips the pallas prediction-plane write
+            return ell_ops.fg_ell(
+                Acur, planes, ell, Bsum, l2_reg, w_mult, want_px=False
+            )[:2]
 
     has_nnz = ell.row_nnz_perm > 0
     x0 = jnp.where(has_nnz[:, None], A_perm, 0.0)
@@ -419,7 +429,7 @@ def cg_update_ell(
     ``planes`` from :func:`poismf_tpu.ops.ell.gather_planes`).  ``use_ray``
     as in :func:`cg_update`."""
     if use_ray is None:
-        use_ray = limit_step and _CG_RAY_DEFAULT
+        use_ray = limit_step and _cg_ray_default()
     return _cg_update_ell_jit(
         A_perm, planes, ell, Bsum, l2_reg=l2_reg, w_mult=w_mult,
         maxupd=maxupd, limit_step=limit_step, maxnfeval=maxnfeval,

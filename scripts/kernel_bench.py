@@ -70,6 +70,18 @@ def main():
     def chain_pg(a):
         return mix(a, pk.pg_bucket(bg, vals, a))
 
+    # per-kernel HBM bytes (reads + plane writes), so GB/s is comparable
+    # across kernels with different output mixes
+    slots = P * Rb
+    bg_b = bg.size * bg.dtype.itemsize
+    kernel_gb = {
+        "f": (bg_b + 4 * slots) / 1e9,
+        "f_gtd": (bg_b + 8 * slots) / 1e9,          # + bd read
+        "fg": (bg_b + 8 * slots) / 1e9,             # + pred write
+        "fgh": (bg_b + 12 * slots) / 1e9,           # + w2, pred writes
+        "hvp": (bg_b + 4 * slots) / 1e9,            # w2 read (no vals)
+        "pg": (bg_b + 4 * slots) / 1e9,
+    }
     for name, fn in [("f", chain_f), ("f_gtd", chain_f_gtd),
                      ("fg", chain_fg), ("fgh", chain_fgh),
                      ("hvp", chain_hvp), ("pg", chain_pg)]:
@@ -84,7 +96,7 @@ def main():
         float(jnp.sum(a))  # true barrier on the whole dependent chain
         dt = (time.time() - t0) / iters
         print(f"{name:>6}: {dt * 1e3:8.2f} ms/call   "
-              f"{plane_gb / dt:7.1f} GB/s", flush=True)
+              f"{kernel_gb[name] / dt:7.1f} GB/s", flush=True)
 
 
 if __name__ == "__main__":

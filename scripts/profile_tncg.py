@@ -46,10 +46,10 @@ print(f"tncg A-update (cached):      {time.time()-t0:.2f}s")
 
 # cost of one fused f+g pass
 fg = jax.jit(lambda A_: obj.poisson_fg(A_, B, by_user, Bsum, L2))
-f, g = fg(A); jax.block_until_ready(g)
+f, g, _ = fg(A); jax.block_until_ready(g)
 t0 = time.time()
 for _ in range(10):
-    f, g = fg(A)
+    f, g, _ = fg(A)
 jax.block_until_ready(g)
 print(f"one poisson_fg pass:         {(time.time()-t0)/10*1000:.2f}ms")
 

@@ -385,3 +385,10 @@ def test_pallas_interpret_parity(rng, monkeypatch):
     np.testing.assert_allclose(cg1, cg0, rtol=1e-5, atol=1e-2)
     for a, b in zip(cpx1, cpx0):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-4)
+    # fused (non-ray) mode: want_px=False must skip the px output while
+    # leaving (f, g) bit-identical to the px-producing call
+    nf, ng, npx = ell_ops.fg_ell(A_p, planes, ell, Bsum, 1e2,
+                                 want_px=False)
+    assert npx is None
+    np.testing.assert_array_equal(np.asarray(nf), np.asarray(cf1))
+    np.testing.assert_array_equal(np.asarray(ng), np.asarray(cg1))
