@@ -706,31 +706,29 @@ def _bucket_data_ray(b: EllBucket, px, pd, a_b):
 
 
 def f_gtd_ray_ell(
-    trial,
-    D_perm,
     alpha,
+    coef,
     pxs: Sequence[Any],
     bds: Sequence[Any],
     ell: EllMatrix,
-    Bsum,
     l2_reg: float,
     w_mult: float = 1.0,
     l2_in_f: bool = True,
 ):
     """Line-search trial objective + directional derivative along the ray
-    ``x + alpha*d`` WITHOUT re-reading the [k,P,R] planes: predictions are
-    linear in the factor vector, so ``pred(trial) = px + alpha*pd`` with
-    ``px`` cached by fgh_ell and ``pd`` from bdot_ell.  Exact as long as the
-    step never crosses a bound (the solver caps alpha at the reference's
-    stepMax distance, tnc.c:795).  Per-trial traffic: three [P,R] f32
-    streams vs a full plane sweep — 8-9x less at k=50 bf16.
-
-    ``trial``/``D_perm`` feed only the cheap [R,k] linear/l2 terms;
-    ``alpha`` is the per-row step [n_rows_ell]."""
-    import jax.numpy as jnp
-
-    dtype = trial.dtype
-    a_col = alpha[:, None].astype(dtype)
+    ``x + alpha*d`` WITHOUT re-reading the [k,P,R] planes and WITHOUT any
+    [R,k] work: predictions are linear in the factor vector, so
+    ``pred(trial) = px + alpha*pd`` with ``px`` cached by fgh_ell and
+    ``pd`` from bdot_ell; the linear/l2 terms are exact quadratics in
+    alpha via the per-row ``coef`` from
+    :func:`poismf_tpu.ops.objective.ray_coef` (computed once per line
+    search).  Exact as long as the step never crosses a bound (the solver
+    caps alpha at the reference's stepMax distance, tnc.c:795).  Per-trial
+    traffic: three [P,R] f32 streams + O(R) scalars vs a full plane sweep
+    — 8-9x less at k=50 bf16.  ``alpha`` is the per-row step
+    [n_rows_ell]."""
+    dtype = alpha.dtype
+    a_col = alpha[:, None]
     nlls, guds = [], []
     for b, px, pd in zip(ell.buckets, pxs, bds):
         a_b = _bucket_x(a_col, b).T  # [1, R_b] (src-aware for long rows)
@@ -739,10 +737,10 @@ def f_gtd_ray_ell(
         guds.append(gud)
     nll = _assemble(ell, nlls, (), dtype)
     gud = _assemble(ell, guds, (), dtype)
-    from .objective import combine_f_gtd
+    from .objective import combine_f_gtd_ray
 
-    return combine_f_gtd(nll, gud, trial, D_perm, Bsum, l2_reg, w_mult,
-                         l2_in_f)
+    return combine_f_gtd_ray(nll, gud, alpha, coef, l2_reg, w_mult,
+                             l2_in_f)
 
 
 def _bucket_data_hvp(bg, w2, V_T):

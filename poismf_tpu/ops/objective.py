@@ -217,6 +217,45 @@ def combine_f_gtd(nll, gud, A_trial, D, Bsum, l2_reg, w_mult, l2_in_f):
     return f, gtd
 
 
+def ray_coef(x: jnp.ndarray, D: jnp.ndarray, Bsum: jnp.ndarray):
+    """Per-row scalar coefficients of the exact quadratic linear/l2 part of
+    ``f`` along the ray ``x + a*D`` — computed ONCE per line search so ray
+    trials touch no [R, k] data at all (see :func:`combine_f_gtd_ray`):
+
+      lin(a) = bx + a*bdl
+      |x + a*D|^2 = xx + 2a*xd + a^2*dd
+    """
+    if Bsum.ndim == 1:
+        bx = x @ Bsum
+        bdl = D @ Bsum
+    else:
+        bx = jnp.sum(x * Bsum, axis=-1)
+        bdl = jnp.sum(D * Bsum, axis=-1)
+    xx = jnp.sum(x * x, axis=-1)
+    xd = jnp.sum(x * D, axis=-1)
+    dd = jnp.sum(D * D, axis=-1)
+    return (bx, bdl, xx, xd, dd)
+
+
+def combine_f_gtd_ray(nll, gud, alpha, coef, l2_reg, w_mult, l2_in_f):
+    """Ray-trial tail of :func:`combine_f_gtd`: identical algebra with the
+    trial's [R, k] reductions replaced by the per-row quadratic
+    coefficients from :func:`ray_coef` (trial = x + alpha*D, so every
+    linear/l2 term is an exact polynomial in alpha).  Differs from the
+    full form only by the eps-level residue the solver's max(0, .)/clamp
+    cleanup removes from the materialized trial."""
+    bx, bdl, xx, xd, dd = coef
+    if w_mult != 1.0:
+        nll = w_mult * nll
+        gud = w_mult * gud
+    lin = bx + alpha * bdl
+    if l2_in_f:
+        lin = lin + l2_reg * (xx + 2.0 * alpha * xd + alpha * alpha * dd)
+    f = lin + nll
+    gtd = bdl + 2.0 * l2_reg * (xd + alpha * dd) - gud
+    return f, gtd
+
+
 def poisson_f_gtd(
     A_trial: jnp.ndarray,
     D: jnp.ndarray,
@@ -277,27 +316,29 @@ def poisson_f_gtd(
 
 
 def poisson_f_gtd_ray(
-    A_trial: jnp.ndarray,
-    D: jnp.ndarray,
     alpha: jnp.ndarray,
+    coef,
     px: jnp.ndarray,
     bd: jnp.ndarray,
     X: CountsMatrix,
-    Bsum: jnp.ndarray,
     l2_reg: float,
     w_mult: float = 1.0,
     nnz_chunk: Optional[int] = None,
     l2_in_f: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Line-search trial objective + directional derivative along the ray
-    ``x + alpha*d`` WITHOUT an SDDMM: predictions are linear in the factor
-    vector, so ``pred(trial) = px + alpha[row]*bd`` with ``px`` the per-edge
-    predictions cached by :func:`poisson_fgh` and ``bd`` from
-    :func:`poisson_bdot`.  Exact while the step stays within the first
-    bound crossing (the solver caps alpha at the reference's stepMax
-    distance, tnc.c:795); f keeps the +inf poisoning on non-positive trial
-    predictions.  ``A_trial``/``D`` feed only the [R,k] linear/l2 terms."""
+    ``x + alpha*d`` touching NO [R, k] data and NO planes beyond px/bd:
+    predictions are linear in the factor vector, so ``pred(trial) =
+    px + alpha[row]*bd`` with ``px`` the per-edge predictions cached by
+    :func:`poisson_fgh` and ``bd`` from :func:`poisson_bdot`; the
+    linear/l2 terms are exact quadratics in alpha with per-row
+    coefficients hoisted out of the trial loop (``coef`` from
+    :func:`ray_coef`).  Exact while the step stays within the first bound
+    crossing (the solver caps alpha at the reference's stepMax distance,
+    tnc.c:795); f keeps the +inf poisoning on non-positive trial
+    predictions."""
     R = X.n_rows_pad
+    dtype = alpha.dtype
 
     def eval_chunk(row_ids, vals, px_c, bd_c):
         a_e = jnp.take(alpha, jnp.minimum(row_ids, R - 1))
@@ -323,7 +364,7 @@ def poisson_f_gtd_ray(
 
         (nll, gud), _ = lax.scan(
             body,
-            (jnp.zeros((R,), A_trial.dtype), jnp.zeros((R,), A_trial.dtype)),
+            (jnp.zeros((R,), dtype), jnp.zeros((R,), dtype)),
             (
                 X.row_ids.reshape(n_chunks, chunk),
                 X.vals.reshape(n_chunks, chunk),
@@ -332,8 +373,8 @@ def poisson_f_gtd_ray(
             ),
         )
 
-    return combine_f_gtd(nll, gud, A_trial, D, Bsum, l2_reg, w_mult,
-                         l2_in_f)
+    return combine_f_gtd_ray(nll, gud, alpha, coef, l2_reg, w_mult,
+                             l2_in_f)
 
 
 def poisson_fg(

@@ -109,7 +109,7 @@ def _cg_core(
         # longer equals pred(trial), and acceptance tests a wrong objective
         raise ValueError("ray trials require limit_step (no bound crossing)")
     if use_ray:
-        f_ray, bdot, trial_frac, fg_weight = ray
+        f_ray, bdot, ray_coef, trial_frac, fg_weight = ray
         f0, g0, px0 = fg(x0)
         passes0 = jnp.asarray(fg_weight, dtype=jnp.float32)
     else:
@@ -176,17 +176,22 @@ def _cg_core(
         if use_ray:
             bd = bdot(d)  # <B,d> planes, ONE plane pass per line search
             px = s["px"]
+            coef = ray_coef(x, d)  # per-row quadratic coefs, once per LS
 
         # ---- batched backtracking line search ----
         ls0 = dict(
             step=max_step,
             found=jnp.zeros((R,), dtype=bool),
-            x_new=x,
             searching=active,
             nfeval=s["nfeval"],
             ls=jnp.zeros((), dtype=jnp.int32),
         )
-        if not use_ray:
+        if use_ray:
+            # accepted STEP, not point: ray trials touch no [R, k] data;
+            # the accepted point is reconstructed once after the loop
+            ls0["a_new"] = jnp.zeros((R,), dtype=dtype)
+        else:
+            ls0["x_new"] = x
             ls0["f_new"] = f
             ls0["g_new"] = g
 
@@ -194,16 +199,19 @@ def _cg_core(
             return (t["ls"] < CG_MAX_LS) & jnp.any(t["searching"])
 
         def ls_body(t):
-            trial = x + t["step"][:, None] * d
-            if limit_step:
-                trial = jnp.where(trial >= EPS_LIMIT, trial, 0.0)
-            else:
-                trial = jnp.maximum(trial, 0.0)
             if use_ray:
                 # trial f from the cached prediction planes; full (f, g)
-                # is refreshed once at the accepted point after the loop
-                f_trial = f_ray(trial, d, t["step"], px, bd)
+                # is refreshed once at the accepted point after the loop.
+                # The EPS_LIMIT cleanup is applied at reconstruction; its
+                # effect on f is below f32 resolution (components < 1e-15
+                # against Bsum-scale linear terms)
+                f_trial = f_ray(t["step"], coef, px, bd)
             else:
+                trial = x + t["step"][:, None] * d
+                if limit_step:
+                    trial = jnp.where(trial >= EPS_LIMIT, trial, 0.0)
+                else:
+                    trial = jnp.maximum(trial, 0.0)
                 # fused: the trial's f decides acceptance; its g (floored
                 # weights, finite even where f poisons) is kept on
                 # acceptance as the next iteration's gradient
@@ -213,18 +221,21 @@ def _cg_core(
                 & (f_trial <= f - CG_LNSRCH_C * t["step"] * dnorm_sq)
             )
             accept = t["searching"] & ok
-            x_new = jnp.where(accept[:, None], trial, t["x_new"])
             found = t["found"] | accept
             rejected = t["searching"] & ~ok
             nfeval = t["nfeval"] + rejected.astype(jnp.int32)
             searching = rejected & (nfeval < maxnfeval)
             step = jnp.where(rejected, t["step"] * CG_DECR, t["step"])
             nxt = dict(
-                step=step, found=found, x_new=x_new,
+                step=step, found=found,
                 searching=searching, nfeval=nfeval,
                 ls=t["ls"] + 1,
             )
-            if not use_ray:
+            if use_ray:
+                nxt["a_new"] = jnp.where(accept, t["step"], t["a_new"])
+            else:
+                nxt["x_new"] = jnp.where(accept[:, None], trial,
+                                         t["x_new"])
                 nxt["f_new"] = jnp.where(accept, f_trial, t["f_new"])
                 nxt["g_new"] = jnp.where(accept[:, None], g_trial,
                                          t["g_new"])
@@ -232,7 +243,15 @@ def _cg_core(
 
         ls = lax.while_loop(ls_cond, ls_body, ls0)
 
-        x_next = jnp.where(ls["found"][:, None], ls["x_new"], x)
+        if use_ray:
+            # reconstruct the accepted point from its step (limit_step
+            # holds in ray mode, so apply the same EPS_LIMIT cleanup the
+            # in-loop trial used to get bit-identical accepted iterates)
+            x_sel = x + ls["a_new"][:, None] * d
+            x_sel = jnp.where(x_sel >= EPS_LIMIT, x_sel, 0.0)
+            x_next = jnp.where(ls["found"][:, None], x_sel, x)
+        else:
+            x_next = jnp.where(ls["found"][:, None], ls["x_new"], x)
         n_trials = ls["ls"].astype(jnp.float32)
         if use_ray:
             # one full refresh at the accepted point (unmoved rows
@@ -298,20 +317,23 @@ def _cg_update_jit(
     ray = None
     fg = fg3
     if use_ray:
-        def f_ray(trial, d, alpha, px, bd):
+        def f_ray(alpha, coef, px, bd):
             return obj.poisson_f_gtd_ray(
-                trial, d, alpha, px, bd, X, Bsum, l2_reg, w_mult, nnz_chunk
+                alpha, coef, px, bd, X, l2_reg, w_mult, nnz_chunk
             )[0]
 
         def bdot(d):
             return obj.poisson_bdot(d, B, X)
+
+        def ray_coef(x, d):
+            return obj.ray_coef(x, d, Bsum)
 
         # sweep-cost fractions for the achieved-bandwidth accounting: a
         # full COO sweep streams rows+cols+vals (12 B/nnz) plus the
         # k-vector B gather; a ray trial streams rows+vals+px+bd
         # (16 B/nnz); fg additionally writes px (4 B/nnz)
         full_b = 4.0 * k + 12.0
-        ray = (f_ray, bdot, 16.0 / full_b, 1.0 + 4.0 / full_b)
+        ray = (f_ray, bdot, ray_coef, 16.0 / full_b, 1.0 + 4.0 / full_b)
     else:
         def fg(Acur):  # noqa: F811 - fused mode wants the 2-tuple
             return fg3(Acur)[:2]
@@ -381,20 +403,23 @@ def _cg_update_ell_jit(
     ray = None
     fg = fg3
     if use_ray:
-        def f_ray(trial, d, alpha, pxs, bds):
+        def f_ray(alpha, coef, pxs, bds):
             return ell_ops.f_gtd_ray_ell(
-                trial, d, alpha, pxs, bds, ell, Bsum, l2_reg, w_mult
+                alpha, coef, pxs, bds, ell, l2_reg, w_mult
             )[0]
 
         def bdot(d):
             return ell_ops.bdot_ell(d, planes, ell)
+
+        def ray_coef(x, d):
+            return obj.ray_coef(x, d, Bsum)
 
         # sweep-cost fractions: a full plane sweep streams k*itemsize + 4
         # (vals) bytes per slot; a ray trial streams px+pd+vals f32
         # (12 B/slot); fg additionally writes the px plane (4 B/slot)
         it = planes[0].dtype.itemsize if planes else A_perm.dtype.itemsize
         full_b = float(k * it + 4)
-        ray = (f_ray, bdot, 12.0 / full_b, 1.0 + 4.0 / full_b)
+        ray = (f_ray, bdot, ray_coef, 12.0 / full_b, 1.0 + 4.0 / full_b)
     else:
         def fg(Acur):  # noqa: F811 - fused mode wants the 2-tuple
             # want_px=False also skips the pallas prediction-plane write

@@ -78,9 +78,10 @@ def _tncg_core(
     has_nnz: jnp.ndarray,
     n_rows: int,
     fgh: Callable,  # x -> (f [R], g [R,k], w2 (opaque), diag [R,k], px)
-    f_gtd_ray: Callable,  # (trial, d, alpha, px, pd) -> (f [R], g(t).d [R])
+    f_gtd_ray: Callable,  # (alpha, coef, px, pd) -> (f [R], g(t).d [R])
     hvp_with: Callable,  # (w2, fixed_mask) -> (V -> HV)
     bdot: Callable,  # d -> per-edge/plane <B, d> factors (once per LS)
+    ray_coef: Callable,  # (x, d) -> per-row quadratic coefs (once per LS)
     *,
     maxupd: int,
     max_outer,  # scalar (may be traced): outer-iteration cap
@@ -258,15 +259,20 @@ def _tncg_core(
         a0 = jnp.where(jnp.isfinite(a0) & (a0 > 0.0), a0, 1.0)
         bd = bdot(d)
         px = s["px"]
+        coef = ray_coef(x, d)  # per-row quadratic coefs, once per LS
 
         ls0 = dict(
             alpha=a0.astype(dtype),
             lo=jnp.zeros((R,), dtype=dtype),
             hi=jnp.full((R,), jnp.inf, dtype=dtype),
             found=jnp.zeros((R,), dtype=bool),
-            x_new=x,
+            # accepted / best-seen STEPS, not points: the trial is never
+            # materialized inside the loop ([R,k] traffic per trial would
+            # rival the [P,R] plane streams); x_next is reconstructed once
+            # from the selected step after the loop
+            a_new=jnp.zeros((R,), dtype=dtype),
             f_new=f,
-            x_best=x,
+            a_best=jnp.zeros((R,), dtype=dtype),
             f_best=f,
             searching=active,
             nfeval=nfeval,
@@ -278,9 +284,7 @@ def _tncg_core(
 
         def ls_body(t):
             alpha = t["alpha"]
-            # alpha <= spe, so the max(0, .) only cleans rounding residue
-            trial = jnp.maximum(x + alpha[:, None] * d, 0.0)
-            f_t, gu = f_gtd_ray(trial, d, alpha, px, bd)
+            f_t, gu = f_gtd_ray(alpha, coef, px, bd)
             suff = jnp.isfinite(f_t) & (f_t <= f + LS_RMU * alpha * dginit)
             # strong-Wolfe curvature: |g(trial).d| <= eta |g(x).d| - the
             # trial brackets getptc's 1-D stationary point rather than
@@ -293,13 +297,13 @@ def _tncg_core(
             at_cap = alpha >= spe * (1.0 - 1e-6)
             ok = suff & ((curv_lo & curv_hi) | (at_cap & ~curv_lo))
             accept = t["searching"] & ok
-            x_new = jnp.where(accept[:, None], trial, t["x_new"])
+            a_new = jnp.where(accept, alpha, t["a_new"])
             f_new = jnp.where(accept, f_t, t["f_new"])
             # getptc keeps the lowest f seen (its fmin); if the bracket
             # collapses without a Wolfe point, that best point is returned
             # as long as it decreased f (tnc.c:1785-1789 via getptc's fmin)
             better = t["searching"] & jnp.isfinite(f_t) & (f_t < t["f_best"])
-            x_best = jnp.where(better[:, None], trial, t["x_best"])
+            a_best = jnp.where(better, alpha, t["a_best"])
             f_best = jnp.where(better, f_t, t["f_best"])
             nfe = t["nfeval"] + t["searching"].astype(jnp.int32)
             searching = t["searching"] & ~ok & (nfe < maxupd)
@@ -322,19 +326,25 @@ def _tncg_core(
                 alpha,
             )
             return dict(alpha=alpha, lo=lo, hi=hi, found=t["found"] | accept,
-                        x_new=x_new, f_new=f_new, x_best=x_best,
+                        a_new=a_new, f_new=f_new, a_best=a_best,
                         f_best=f_best, searching=searching,
                         nfeval=nfe, t=t["t"] + 1)
 
         ls = lax.while_loop(ls_cond, ls_body, ls0)
 
         # Wolfe point if found, else the best simple-decrease point; LSFAIL
-        # only when no trial decreased f at all
+        # only when no trial decreased f at all.  Reconstruct the selected
+        # point from its step (a_sel <= spe, so the max(0, .) only cleans
+        # rounding residue exactly as the in-loop trial did)
         fallback = active & ~ls["found"] & (ls["f_best"] < f)
         moved = ls["found"] | fallback
+        a_sel = jnp.where(
+            ls["found"], ls["a_new"], jnp.where(fallback, ls["a_best"], 0.0)
+        )
         x_next = jnp.where(
-            ls["found"][:, None], ls["x_new"],
-            jnp.where(fallback[:, None], ls["x_best"], x),
+            moved[:, None],
+            jnp.maximum(x + a_sel[:, None] * d, 0.0),
+            x,
         )
         # addConstraint analog (tnc.c:1076-1084): a coordinate that moved
         # toward the bound and landed within 10*eps*(1+|x|) of it is pivoted
@@ -485,13 +495,16 @@ def _tncg_update_jit(
         return obj.poisson_fgh(Acur, B, X, Bsum, l2_reg, w_mult, nnz_chunk,
                                l2_in_f=l2_in_f)
 
-    def f_gtd_ray(trial, d, alpha, px, bd):
-        return obj.poisson_f_gtd_ray(trial, d, alpha, px, bd, X, Bsum,
+    def f_gtd_ray(alpha, coef, px, bd):
+        return obj.poisson_f_gtd_ray(alpha, coef, px, bd, X,
                                      l2_reg, w_mult, nnz_chunk,
                                      l2_in_f=l2_in_f)
 
     def bdot(d):
         return obj.poisson_bdot(d, B, X)
+
+    def ray_coef(x, d):
+        return obj.ray_coef(x, d, Bsum)
 
     # sweep-cost fractions for the achieved-bandwidth accounting: a full
     # COO sweep streams rows+cols+vals (12 B/nnz) plus the k-vector B
@@ -515,7 +528,7 @@ def _tncg_update_jit(
     )
 
     x_final, share, out = _tncg_core(
-        x0, has_nnz, X.n_rows, fgh, f_gtd_ray, hvp_with, bdot,
+        x0, has_nnz, X.n_rows, fgh, f_gtd_ray, hvp_with, bdot, ray_coef,
         maxupd=maxupd, max_outer=max_outer, maxcg=maxcg,
         x_prev_for_unchanged=jnp.where(has_nnz[:, None], A, 0.0),
         ftol=ftol, trial_frac=trial_frac, fgh_weight=fgh_weight,
@@ -609,12 +622,15 @@ def _tncg_update_ell_jit(
         return ell_ops.fgh_ell(Acur, planes, ell, Bsum, l2_reg, w_mult,
                                l2_in_f=l2_in_f)
 
-    def f_gtd_ray(trial, d, alpha, pxs, bds):
-        return ell_ops.f_gtd_ray_ell(trial, d, alpha, pxs, bds, ell, Bsum,
+    def f_gtd_ray(alpha, coef, pxs, bds):
+        return ell_ops.f_gtd_ray_ell(alpha, coef, pxs, bds, ell,
                                      l2_reg, w_mult, l2_in_f=l2_in_f)
 
     def bdot(d):
         return ell_ops.bdot_ell(d, planes, ell)
+
+    def ray_coef(x, d):
+        return obj.ray_coef(x, d, Bsum)
 
     def hvp_with(w2s):
         def hvp(V):
@@ -638,7 +654,7 @@ def _tncg_update_ell_jit(
     fgh_weight = 1.0 + 8.0 / full_b  # + w2 and px plane writes
 
     x_final, share, out = _tncg_core(
-        x0, has_nnz, ell.n_rows, fgh, f_gtd_ray, hvp_with, bdot,
+        x0, has_nnz, ell.n_rows, fgh, f_gtd_ray, hvp_with, bdot, ray_coef,
         maxupd=maxupd, max_outer=max_outer, maxcg=maxcg,
         x_prev_for_unchanged=jnp.where(has_nnz[:, None], A_perm, 0.0),
         true_row_mask=has_nnz,  # ELL slots with nnz are exactly the true rows

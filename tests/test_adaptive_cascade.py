@@ -44,11 +44,13 @@ def test_plan_from_profile_caps_and_gate(rng):
 
 
 def test_adaptive_plan_fit_matches_uniform(rng, monkeypatch):
-    """Force constant rejections (absurdly small uniform caps): the fit must
-    build an adaptive plan and still converge to the same quality as with
-    adaptivity disabled."""
-    # large enough that per-bucket tails exceed the 128-row tile minimum
-    # (smaller problems never overflow any plan's caps)
+    """Force rejections of every uniform-denominator plan (mocked
+    per-bucket overflow): the fit must record the rejection profiles,
+    build an adaptive (denom=0) plan, and still converge to the same
+    quality as with adaptivity disabled.  Rejection is forced at the
+    select_active seam rather than by contriving a straggler tail — the
+    natural drain pattern is knife-edge-sensitive to eps-level solver
+    changes and made the old contrivance flaky."""
     rows, cols, vals = synth_counts(rng, n_users=2500, n_items=150,
                                     density=0.06)
     bu, bi = build_both_orientations(rows, cols, vals, 2500, 150)
@@ -56,22 +58,30 @@ def test_adaptive_plan_fit_matches_uniform(rng, monkeypatch):
     k = 6
     A0 = train.initialize_factors(2500, bu.n_rows_pad, k, r, np.float32)
     B0 = train.initialize_factors(150, bi.n_rows_pad, k, r, np.float32)
-    # max_cg=1 keeps convergence gradual: the ray line search (capped at the
-    # bound like the reference) otherwise drains the active set from ~full
-    # to ~nothing in one round, leaving no mid-size straggler tail for the
-    # tiny uniform caps to reject (a rejected tail must also be small enough
-    # for plan_compact_from_profile's cost gate to accept)
     p = train.FitParams(k=k, method="tncg", niter=4, l2_reg=10.0,
                         maxupd=150, max_cg=1)
 
     from poismf_tpu.ops import objective as obj
 
-    monkeypatch.setattr(train, "COMPACT_DENOMS", (1024,))
+    real_select = ell_ops.select_active
+
+    def fussy_select(ell, plan, active, row_nnz, src):
+        if plan.denom != 0:
+            return None  # every uniform plan "overflows"
+        return real_select(ell, plan, active, row_nnz, src)
+
+    monkeypatch.setattr(ell_ops, "select_active", fussy_select)
+
     monkeypatch.setenv("POISMF_ADAPTIVE_PLAN", "0")
     train._ELL_CACHE.clear()
     train._ELL_AUX.clear()
     A1, B1, _ = train.run_poismf(A0, B0, bu, bi, p)
     ll_plain = float(obj.eval_llk(A1, B1, bu))
+    # with adaptivity off, every round fell back to full structure
+    assert not any(
+        any(pl.denom == 0 for pl in aux["plans"])
+        for aux in train._ELL_AUX.values()
+    )
 
     monkeypatch.setenv("POISMF_ADAPTIVE_PLAN", "1")
     train._ELL_CACHE.clear()
@@ -79,8 +89,9 @@ def test_adaptive_plan_fit_matches_uniform(rng, monkeypatch):
     A2, B2, _ = train.run_poismf(A0, B0, bu, bi, p)
     ll_adapt = float(obj.eval_llk(A2, B2, bu))
 
-    # some ell should have gained an adaptive (denom=0) plan
-    assert any(
+    # every ell should have gained an adaptive (denom=0) plan from the
+    # recorded rejection profiles
+    assert all(
         any(pl.denom == 0 for pl in aux["plans"])
         for aux in train._ELL_AUX.values()
     )

@@ -315,8 +315,9 @@ def test_ray_trial_matches_full_eval(rng):
 
     f_full, gtd_full = ell_ops.f_gtd_ell(trial, D_p, bds, planes, ell,
                                          Bsum, 1e2)
-    f_ray, gtd_ray = ell_ops.f_gtd_ray_ell(trial, D_p, alpha, pxs, bds,
-                                           ell, Bsum, 1e2)
+    coef = obj.ray_coef(A_p, D_p, Bsum)
+    f_ray, gtd_ray = ell_ops.f_gtd_ray_ell(alpha, coef, pxs, bds,
+                                           ell, 1e2)
 
     ff, fr = np.asarray(f_full), np.asarray(f_ray)
     m = np.isfinite(ff)
@@ -349,17 +350,15 @@ def test_pallas_interpret_parity(rng, monkeypatch):
     h0 = ell_ops.hvp_ell(A_p, planes, ell, w20, 1e2)
     fo0 = ell_ops.f_ell(A_p, planes, ell, Bsum, 1e2)
     bd0 = ell_ops.bdot_ell(D_p, planes, ell)
-    trial = A_p + alpha[:, None] * D_p
-    fr0, gt0 = ell_ops.f_gtd_ray_ell(trial, D_p, alpha, px0, bd0, ell,
-                                     Bsum, 1e2)
+    rcoef = obj.ray_coef(A_p, D_p, Bsum)
+    fr0, gt0 = ell_ops.f_gtd_ray_ell(alpha, rcoef, px0, bd0, ell, 1e2)
     cf0, cg0, cpx0 = ell_ops.fg_ell(A_p, planes, ell, Bsum, 1e2)
 
     monkeypatch.setattr(ell_ops, "_PALLAS_MODE", "interpret")
     f1, g1, w21, d1, px1 = ell_ops.fgh_ell(A_p, planes, ell, Bsum, 1e2)
     h1 = ell_ops.hvp_ell(A_p, planes, ell, w21, 1e2)
     fo1 = ell_ops.f_ell(A_p, planes, ell, Bsum, 1e2)
-    fr1, gt1 = ell_ops.f_gtd_ray_ell(trial, D_p, alpha, px1, bd0, ell,
-                                     Bsum, 1e2)
+    fr1, gt1 = ell_ops.f_gtd_ray_ell(alpha, rcoef, px1, bd0, ell, 1e2)
     cf1, cg1, cpx1 = ell_ops.fg_ell(A_p, planes, ell, Bsum, 1e2)
 
     np.testing.assert_allclose(f1, f0, rtol=1e-5, atol=1e-2)
