@@ -66,6 +66,17 @@ TNC_ETA = 0.25  # CG forcing / line-search eta
 LS_RMU = 1e-4  # sufficient-decrease mu (tnc.c linearSearch:1734 rmu)
 LS_EXTRAP = 4.0  # bracket growth factor while no upper bound found
 MAX_LS = 16
+# NOTE on capping the per-row LS trial budget: tried and REJECTED.  Some
+# rows grind the bracket for 10+ rounds because the replicated reference
+# inconsistency (l2-less f, l2-full gradient — see objective.poisson_fgh)
+# parks their strong-Wolfe band edge on their slope curve's asymptote,
+# and capping them at their best-decrease point looked getptc-faithful —
+# but every cap variant (8 total trials, 6 or 10 bracketed rounds, with
+# or without a hold-a-decrease guard) degraded the l1-heavy golden-parity
+# configs by >1% regularized objective: under l1 the late bracket rounds
+# find materially better points.  The cubic step + dead-bracket
+# termination below keep the reference's search depth at ~25% fewer
+# whole-batch rounds instead.
 
 
 def _maxcgit(k: int) -> int:
@@ -110,7 +121,8 @@ def _tncg_core(
     R, k = x0.shape
     dtype = x0.dtype
 
-    rteps = float(_np.sqrt(_np.finfo(_np.dtype(str(dtype))).eps))
+    eps_f = float(_np.finfo(_np.dtype(str(dtype))).eps)
+    rteps = float(_np.sqrt(eps_f))
     pgtol = 1e-2 * (rteps ** 0.5)  # tnc.c:431-433 with accuracy=rteps
     xtol = rteps
 
@@ -134,6 +146,13 @@ def _tncg_core(
         # the basis for the benchmark's achieved-bandwidth accounting.
         # Init fgh (incl. its px plane write).
         passes=jnp.full((), fgh_weight, dtype=jnp.float32),
+        # whole-batch LS trial rounds / inner-CG HVP rounds (diagnostics:
+        # the LS tail is max-over-rows, so its round count is the lever
+        # the interpolation rule controls)
+        ls_rounds=jnp.zeros((), dtype=jnp.int32),
+        hvp_rounds=jnp.zeros((), dtype=jnp.int32),
+        dbg_search=jnp.zeros((MAX_LS,), dtype=jnp.int32),
+        dbg_brack=jnp.zeros((MAX_LS,), dtype=jnp.int32),
     )
 
     def cond(s):
@@ -265,6 +284,13 @@ def _tncg_core(
             alpha=a0.astype(dtype),
             lo=jnp.zeros((R,), dtype=dtype),
             hi=jnp.full((R,), jnp.inf, dtype=dtype),
+            # (f, g.d) at the bracket ends, for the cubic interpolation
+            # step (getptc's scheme, tnc.c:1890-2154): lo starts at
+            # alpha=0 where both are known exactly
+            f_lo=f,
+            g_lo=dginit,
+            f_hi=jnp.full((R,), jnp.inf, dtype=dtype),
+            g_hi=jnp.zeros((R,), dtype=dtype),
             found=jnp.zeros((R,), dtype=bool),
             # accepted / best-seen STEPS, not points: the trial is never
             # materialized inside the loop ([R,k] traffic per trial would
@@ -277,6 +303,11 @@ def _tncg_core(
             searching=active,
             nfeval=nfeval,
             t=jnp.zeros((), dtype=jnp.int32),
+            # diagnostics: rows still searching / bracketed at each LS
+            # round of the LAST outer iteration (tiny [MAX_LS] ints —
+            # exposes where the max-over-rows LS tail comes from)
+            dbg_search=jnp.zeros((MAX_LS,), dtype=jnp.int32),
+            dbg_brack=jnp.zeros((MAX_LS,), dtype=jnp.int32),
         )
 
         def ls_cond(t):
@@ -310,24 +341,80 @@ def _tncg_core(
             # bracket: no sufficient decrease or overshot the stationary
             # point -> too far (shrink); decrease but derivative still
             # steep -> too short (grow / bisect up)
-            hi = jnp.where(searching & (~suff | ~curv_hi), alpha, t["hi"])
-            lo = jnp.where(searching & suff & ~curv_lo & curv_hi, alpha,
-                           t["lo"])
+            to_hi = searching & (~suff | ~curv_hi)
+            to_lo = searching & suff & ~curv_lo & curv_hi
+            hi = jnp.where(to_hi, alpha, t["hi"])
+            lo = jnp.where(to_lo, alpha, t["lo"])
+            f_hi = jnp.where(to_hi, f_t, t["f_hi"])
+            g_hi = jnp.where(to_hi, gu, t["g_hi"])
+            f_lo = jnp.where(to_lo, f_t, t["f_lo"])
+            g_lo = jnp.where(to_lo, gu, t["g_lo"])
             has_hi = jnp.isfinite(hi)
+            # Bracketed rows take a SAFEGUARDED CUBIC step — the Hermite
+            # minimizer through (lo, f_lo, g_lo), (hi, f_hi, g_hi), the
+            # same family as getptc's interpolation (tnc.c:1890-2154) —
+            # clipped away from the bracket ends; rows whose cubic is
+            # undefined (poisoned f_hi from an inf trial, negative
+            # radicand, degenerate denominator) bisect as before.
+            # Bisection needed ~14 whole-batch rounds per outer iteration
+            # (max over rows); the cubic typically settles in 3-6.
+            span = hi - lo
+            d1 = g_lo + g_hi + 3.0 * (f_lo - f_hi) / jnp.maximum(
+                span, 1e-30
+            )
+            rad = d1 * d1 - g_lo * g_hi
+            d2 = jnp.sqrt(jnp.maximum(rad, 0.0))
+            denom = g_hi - g_lo + 2.0 * d2
+            a_cubic = hi - span * (g_hi + d2 - d1) / denom
+            cubic_ok = (
+                has_hi
+                & jnp.isfinite(f_hi)
+                & (rad >= 0.0)
+                & (jnp.abs(denom) > 1e-30)
+                & jnp.isfinite(a_cubic)
+            )
+            a_brack = jnp.where(
+                cubic_ok,
+                # 0.1 safeguard (getptc's factor): guarantees >= 10%
+                # bracket shrink per round even when the cubic stalls
+                jnp.clip(a_cubic, lo + 0.1 * span, hi - 0.1 * span),
+                0.5 * (lo + hi),
+            )
+            # getptc terminates when the bracket collapses (its tol test,
+            # tnc.c:1901-1913) — batched, a single numerically-dead row
+            # otherwise spins the WHOLE batch to MAX_LS every outer
+            # iteration (observed: one row x 16 rounds).  "Dead" = the
+            # achievable f-variation across the bracket (span x steepest
+            # end slope) is below f32 resolution of f — any "Wolfe point"
+            # found there would be noise.  The row falls through to the
+            # best-decrease point or LSFAIL exactly like the reference's
+            # collapsed getptc.
+            dead = has_hi & (
+                span * jnp.maximum(jnp.abs(g_lo), jnp.abs(g_hi))
+                <= 16.0 * eps_f * (1.0 + jnp.abs(f))
+            )
+            searching = searching & ~dead
             # extrapolation clamps to spe so the trial never crosses a bound
             # (keeping the ray linearization exact); rows with spe = inf
             # (no negative direction component) extrapolate freely
             alpha = jnp.where(
                 searching,
                 jnp.where(
-                    has_hi, 0.5 * (lo + hi),
+                    has_hi, a_brack,
                     jnp.minimum(alpha * LS_EXTRAP, spe),
                 ),
                 alpha,
             )
-            return dict(alpha=alpha, lo=lo, hi=hi, found=t["found"] | accept,
+            return dict(alpha=alpha, lo=lo, hi=hi,
+                        f_lo=f_lo, g_lo=g_lo, f_hi=f_hi, g_hi=g_hi,
+                        found=t["found"] | accept,
                         a_new=a_new, f_new=f_new, a_best=a_best,
                         f_best=f_best, searching=searching,
+                        dbg_search=t["dbg_search"].at[t["t"]].set(
+                            jnp.sum(t["searching"].astype(jnp.int32))),
+                        dbg_brack=t["dbg_brack"].at[t["t"]].set(jnp.sum(
+                            (t["searching"] & jnp.isfinite(t["hi"]))
+                            .astype(jnp.int32))),
                         nfeval=nfe, t=t["t"] + 1)
 
         ls = lax.while_loop(ls_cond, ls_body, ls0)
@@ -410,6 +497,10 @@ def _tncg_core(
             px=px_next,
             nfeval=nfe,
             active=active_next,
+            ls_rounds=s["ls_rounds"] + ls["t"],
+            hvp_rounds=s["hvp_rounds"] + cg["i"],
+            dbg_search=ls["dbg_search"],
+            dbg_brack=ls["dbg_brack"],
             it=s["it"] + 1,
             passes=passes,
         )
@@ -449,6 +540,10 @@ def _stats_dict(out) -> dict:
         still_active=jnp.sum(out["active"]),
         active=out["active"],
         passes=out["passes"],
+        ls_rounds=out["ls_rounds"],
+        hvp_rounds=out["hvp_rounds"],
+        dbg_search=out["dbg_search"],
+        dbg_brack=out["dbg_brack"],
     )
 
 
