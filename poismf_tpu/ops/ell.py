@@ -705,6 +705,61 @@ def _bucket_data_ray(b: EllBucket, px, pd, a_b):
     return nll, gud
 
 
+def _bucket_data_ray_multi(b: EllBucket, px, pd, a_b):
+    """One bucket's f-only ray data terms at C candidate steps in ONE
+    px/pd/vals stream (see pallas_kernels.rayf_multi_bucket).  ``a_b``
+    [C, R_b] -> neg_llk [C, R_b]."""
+    import jax.numpy as jnp
+
+    mode = _pallas_state()
+    if mode is not None and px.dtype != jnp.float64:
+        from . import pallas_kernels as pk
+
+        return pk.rayf_multi_bucket(
+            px.astype(jnp.float32), pd.astype(jnp.float32),
+            b.vals.astype(jnp.float32), a_b.astype(jnp.float32),
+            interpret=(mode == "interpret"),
+        )
+    pred = px[None] + a_b[:, None, :] * pd[None]  # [C, P, R_b]
+    valid = (b.vals > 0)[None]
+    logt = jnp.where(valid, b.vals[None] * jnp.log(pred), 0.0)
+    return -jnp.sum(logt, axis=1)
+
+
+def f_ray_multi_ell(
+    alphas,
+    coef,
+    pxs: Sequence[Any],
+    bds: Sequence[Any],
+    ell: EllMatrix,
+    l2_reg: float,
+    w_mult: float = 1.0,
+    l2_in_f: bool = True,
+):
+    """Trial objective at C candidate steps along the ray in ONE plane
+    stream per bucket — CG's fixed backtracking sequence (x0.25 per
+    rejection, nonnegcg.c:290-327) lets one round evaluate the next C
+    candidates for the same px/pd/vals bandwidth as one.  ``alphas``
+    [C, n_rows_ell] -> f [C, n_rows_ell] (same poisoning semantics as the
+    single-candidate ray)."""
+    import jax.numpy as jnp
+
+    from .objective import combine_f_ray
+
+    C = alphas.shape[0]
+    dtype = alphas.dtype
+    per_bucket = []
+    for b, px, pd in zip(ell.buckets, pxs, bds):
+        a_b = _bucket_x(alphas.T, b).T  # [C, R_b] (src-aware long rows)
+        per_bucket.append(_bucket_data_ray_multi(b, px, pd, a_b))
+    fs = []
+    for c in range(C):
+        nll_c = _assemble(ell, [n[c] for n in per_bucket], (), dtype)
+        fs.append(combine_f_ray(nll_c, alphas[c], coef, l2_reg, w_mult,
+                                l2_in_f))
+    return jnp.stack(fs)
+
+
 def f_gtd_ray_ell(
     alpha,
     coef,

@@ -237,6 +237,17 @@ def ray_coef(x: jnp.ndarray, D: jnp.ndarray, Bsum: jnp.ndarray):
     return (bx, bdl, xx, xd, dd)
 
 
+def combine_f_ray(nll, alpha, coef, l2_reg, w_mult, l2_in_f):
+    """f-only tail of :func:`combine_f_gtd_ray` (CG trials test only f)."""
+    bx, bdl, xx, xd, dd = coef
+    if w_mult != 1.0:
+        nll = w_mult * nll
+    lin = bx + alpha * bdl
+    if l2_in_f:
+        lin = lin + l2_reg * (xx + 2.0 * alpha * xd + alpha * alpha * dd)
+    return lin + nll
+
+
 def combine_f_gtd_ray(nll, gud, alpha, coef, l2_reg, w_mult, l2_in_f):
     """Ray-trial tail of :func:`combine_f_gtd`: identical algebra with the
     trial's [R, k] reductions replaced by the per-row quadratic
@@ -375,6 +386,62 @@ def poisson_f_gtd_ray(
 
     return combine_f_gtd_ray(nll, gud, alpha, coef, l2_reg, w_mult,
                              l2_in_f)
+
+
+def poisson_f_ray_multi(
+    alphas: jnp.ndarray,
+    coef,
+    px: jnp.ndarray,
+    bd: jnp.ndarray,
+    X: CountsMatrix,
+    l2_reg: float,
+    w_mult: float = 1.0,
+    nnz_chunk: Optional[int] = None,
+    l2_in_f: bool = True,
+) -> jnp.ndarray:
+    """Trial objective at C candidate steps along the ray in one pass over
+    the cached px/bd edge streams (flat-COO analog of
+    :func:`poismf_tpu.ops.ell.f_ray_multi_ell`).  ``alphas`` [C, R_pad] ->
+    f [C, R_pad]."""
+    R = X.n_rows_pad
+    C = alphas.shape[0]
+    dtype = alphas.dtype
+
+    def eval_chunk(row_ids, vals, px_c, bd_c):
+        rows = jnp.minimum(row_ids, R - 1)
+        valid = vals > 0
+        out = []
+        for c in range(C):
+            a_e = jnp.take(alphas[c], rows)
+            pred = px_c + a_e * bd_c
+            log_term = jnp.where(valid, vals * jnp.log(pred), 0.0)
+            out.append(-segment_rowsum(log_term, row_ids, R))
+        return jnp.stack(out)
+
+    chunk = _maybe_chunk(X.nnz_pad, nnz_chunk)
+    if chunk is None:
+        nll = eval_chunk(X.row_ids, X.vals, px, bd)
+    else:
+        n_chunks = X.nnz_pad // chunk
+
+        def body(carry, xs):
+            return carry + eval_chunk(*xs), None
+
+        nll, _ = lax.scan(
+            body,
+            jnp.zeros((C, R), dtype),
+            (
+                X.row_ids.reshape(n_chunks, chunk),
+                X.vals.reshape(n_chunks, chunk),
+                px.reshape(n_chunks, chunk),
+                bd.reshape(n_chunks, chunk),
+            ),
+        )
+
+    return jnp.stack([
+        combine_f_ray(nll[c], alphas[c], coef, l2_reg, w_mult, l2_in_f)
+        for c in range(C)
+    ])
 
 
 def poisson_fg(

@@ -445,6 +445,69 @@ def ray_bucket(px, pd, vals, alpha, interpret: bool = False):
 
 
 # ---------------------------------------------------------------------------
+# multi-candidate ray trial (CG): f-only at C steps along the ray in ONE
+# px/pd/vals stream.  CG's backtracking sequence is FIXED (x0.25 per
+# rejection, nonnegcg.c:290-327), so evaluating the next C candidates per
+# round costs the same plane bandwidth as one trial (the extra work is
+# C-1 more pred/log chains on data already in registers) and cuts the
+# whole-batch LS round count ~Cx.
+# ---------------------------------------------------------------------------
+
+
+def _rayf_multi_kernel(C, px_ref, pd_ref, vals_ref, alphas_ref, nll_ref):
+    pj = pl.program_id(1)
+
+    @pl.when(pj == 0)
+    def _():
+        nll_ref[...] = jnp.zeros_like(nll_ref)
+
+    px = px_ref[...]  # [TP, TR]
+    pd = pd_ref[...]
+    vals = vals_ref[...]
+    a = alphas_ref[...]  # [C, TR]
+    valid = vals > 0
+    acc = []
+    for c in range(C):
+        pred = px + a[c][None, :] * pd
+        # unfloored log: non-positive trial predictions poison with
+        # inf/nan exactly like the single-candidate kernels
+        logt = jnp.where(valid, vals * jnp.log(pred), 0.0)
+        acc.append(-jnp.sum(logt, axis=0))
+    nll_ref[...] += jnp.stack(acc)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def rayf_multi_bucket(px, pd, vals, alphas, interpret: bool = False):
+    """Trial f data terms at C steps for one bucket.
+
+    px, pd, vals [P, R] f32, alphas [C, R] f32 -> neg_llk [C, R].
+    """
+    C = alphas.shape[0]
+    P, Rb = px.shape
+    tp, tr = _ray_tiles(P, Rb)
+    grid = (Rb // tr, P // tp)
+    nll = pl.pallas_call(
+        functools.partial(_rayf_multi_kernel, C),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tp, tr), lambda ri, pj: (pj, ri),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tp, tr), lambda ri, pj: (pj, ri),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tp, tr), lambda ri, pj: (pj, ri),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, tr), lambda ri, pj: (0, ri),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((C, tr), lambda ri, pj: (0, ri),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C, Rb), jnp.float32),
+        interpret=interpret,
+    )(px, pd, vals, alphas)
+    return nll
+
+
+# ---------------------------------------------------------------------------
 # Hessian-vector product (one plane read; bv and the w2-weighted reduction
 # both consume the in-register block)
 # ---------------------------------------------------------------------------

@@ -47,6 +47,10 @@ CG_MAXNFEVAL = 150
 CG_DECR = 0.25
 CG_LNSRCH_C = 0.01
 CG_MAX_LS = 20
+# candidates per ray-trial round: the backtracking sequence is fixed, so
+# one px/pd/vals stream can score the next CAND steps at once (the extra
+# work is CAND-1 more pred/log chains on in-register data)
+CG_RAY_CAND = 4
 
 # Cached-plane ray line search (see _cg_core): on by default wherever
 # limit_step keeps the ray exact; POISMF_CG_RAY=0 restores fused trials.
@@ -95,7 +99,9 @@ def _cg_core(
       ``limit_step=True``: the step cap keeps the trial strictly within
       the first bound crossing (nonnegcg.c:272-288), so the ray
       linearization is exact (modulo the reference's own 1e-15 clamp).
-      ``fg: x -> (f, g, px)``; ``f_ray: (trial, d, alpha, px, bd) -> f``.
+      ``fg: x -> (f, g, px)``; ``f_ray: (alphas [C,R], coef, px, bd) ->
+      f [C,R]`` scores the next ``CG_RAY_CAND`` candidates of the fixed
+      backtracking sequence per round in one plane stream.
 
     The iterate trajectory is identical between the modes up to fp
     rounding (tested: test_cg.py::test_ray_matches_fused_trajectory).
@@ -195,27 +201,80 @@ def _cg_core(
             ls0["f_new"] = f
             ls0["g_new"] = g
 
+        # ray mode evaluates the next CG_RAY_CAND candidates of the FIXED
+        # backtracking sequence {max_step * CG_DECR^j} per round — same
+        # px/pd/vals plane bandwidth as one trial, ~CAND-times fewer
+        # whole-batch rounds, identical per-row trajectory (the accepted
+        # trial and the reference's rejected-trial nfeval accounting,
+        # nonnegcg.c:290-327, are reproduced exactly)
+        n_rounds = -(-CG_MAX_LS // CG_RAY_CAND) if use_ray else CG_MAX_LS
+        decays = (CG_DECR ** jnp.arange(CG_RAY_CAND, dtype=dtype)
+                  if use_ray else None)
+        j_arange = (jnp.arange(CG_RAY_CAND, dtype=jnp.int32)[:, None]
+                    if use_ray else None)
+
         def ls_cond(t):
-            return (t["ls"] < CG_MAX_LS) & jnp.any(t["searching"])
+            return (t["ls"] < n_rounds) & jnp.any(t["searching"])
 
         def ls_body(t):
             if use_ray:
-                # trial f from the cached prediction planes; full (f, g)
-                # is refreshed once at the accepted point after the loop.
-                # The EPS_LIMIT cleanup is applied at reconstruction; its
-                # effect on f is below f32 resolution (components < 1e-15
-                # against Bsum-scale linear terms)
-                f_trial = f_ray(t["step"], coef, px, bd)
+                # trial f at CAND steps from the cached prediction planes;
+                # full (f, g) is refreshed once at the accepted point
+                # after the loop.  The EPS_LIMIT cleanup is applied at
+                # reconstruction; its effect on f is below f32 resolution
+                # (components < 1e-15 against Bsum-scale linear terms)
+                cand = t["step"][None, :] * decays[:, None]  # [CAND, R]
+                f_c = f_ray(cand, coef, px, bd)
+                # a candidate may only be evaluated while the reference's
+                # budgets allow it: nfeval (rejections so far) and the
+                # CG_MAX_LS per-search trial cap both advance one per
+                # prior rejection
+                allowed = (
+                    (t["nfeval"][None, :] + j_arange < maxnfeval)
+                    & (t["ls"] * CG_RAY_CAND + j_arange < CG_MAX_LS)
+                )
+                ok_c = (
+                    jnp.isfinite(f_c)
+                    & (f_c <= f[None]
+                       - CG_LNSRCH_C * cand * dnorm_sq[None])
+                    & allowed
+                )
+                any_ok = jnp.any(ok_c, axis=0)
+                j_star = jnp.argmax(ok_c, axis=0)  # first accepted j
+                accept = t["searching"] & any_ok
+                a_acc = t["step"] * (CG_DECR ** j_star.astype(dtype))
+                found = t["found"] | accept
+                # rejections consumed this round: j_star before an
+                # acceptance, every allowed candidate otherwise
+                n_allowed = jnp.sum(allowed.astype(jnp.int32), axis=0)
+                rej = jnp.where(
+                    accept, j_star.astype(jnp.int32),
+                    jnp.where(t["searching"], n_allowed, 0),
+                )
+                nfeval = t["nfeval"] + rej.astype(jnp.int32)
+                searching = (
+                    t["searching"] & ~any_ok & (nfeval < maxnfeval)
+                    & ((t["ls"] + 1) * CG_RAY_CAND < CG_MAX_LS)
+                )
+                step = jnp.where(
+                    searching, t["step"] * (CG_DECR ** CG_RAY_CAND),
+                    t["step"],
+                )
+                return dict(
+                    step=step, found=found,
+                    a_new=jnp.where(accept, a_acc, t["a_new"]),
+                    searching=searching, nfeval=nfeval,
+                    ls=t["ls"] + 1,
+                )
+            trial = x + t["step"][:, None] * d
+            if limit_step:
+                trial = jnp.where(trial >= EPS_LIMIT, trial, 0.0)
             else:
-                trial = x + t["step"][:, None] * d
-                if limit_step:
-                    trial = jnp.where(trial >= EPS_LIMIT, trial, 0.0)
-                else:
-                    trial = jnp.maximum(trial, 0.0)
-                # fused: the trial's f decides acceptance; its g (floored
-                # weights, finite even where f poisons) is kept on
-                # acceptance as the next iteration's gradient
-                f_trial, g_trial = fg(trial)
+                trial = jnp.maximum(trial, 0.0)
+            # fused: the trial's f decides acceptance; its g (floored
+            # weights, finite even where f poisons) is kept on
+            # acceptance as the next iteration's gradient
+            f_trial, g_trial = fg(trial)
             ok = (
                 jnp.isfinite(f_trial)
                 & (f_trial <= f - CG_LNSRCH_C * t["step"] * dnorm_sq)
@@ -226,20 +285,14 @@ def _cg_core(
             nfeval = t["nfeval"] + rejected.astype(jnp.int32)
             searching = rejected & (nfeval < maxnfeval)
             step = jnp.where(rejected, t["step"] * CG_DECR, t["step"])
-            nxt = dict(
+            return dict(
                 step=step, found=found,
+                x_new=jnp.where(accept[:, None], trial, t["x_new"]),
+                f_new=jnp.where(accept, f_trial, t["f_new"]),
+                g_new=jnp.where(accept[:, None], g_trial, t["g_new"]),
                 searching=searching, nfeval=nfeval,
                 ls=t["ls"] + 1,
             )
-            if use_ray:
-                nxt["a_new"] = jnp.where(accept, t["step"], t["a_new"])
-            else:
-                nxt["x_new"] = jnp.where(accept[:, None], trial,
-                                         t["x_new"])
-                nxt["f_new"] = jnp.where(accept, f_trial, t["f_new"])
-                nxt["g_new"] = jnp.where(accept[:, None], g_trial,
-                                         t["g_new"])
-            return nxt
 
         ls = lax.while_loop(ls_cond, ls_body, ls0)
 
@@ -317,10 +370,10 @@ def _cg_update_jit(
     ray = None
     fg = fg3
     if use_ray:
-        def f_ray(alpha, coef, px, bd):
-            return obj.poisson_f_gtd_ray(
-                alpha, coef, px, bd, X, l2_reg, w_mult, nnz_chunk
-            )[0]
+        def f_ray(alphas, coef, px, bd):
+            return obj.poisson_f_ray_multi(
+                alphas, coef, px, bd, X, l2_reg, w_mult, nnz_chunk
+            )
 
         def bdot(d):
             return obj.poisson_bdot(d, B, X)
@@ -403,10 +456,10 @@ def _cg_update_ell_jit(
     ray = None
     fg = fg3
     if use_ray:
-        def f_ray(alpha, coef, pxs, bds):
-            return ell_ops.f_gtd_ray_ell(
-                alpha, coef, pxs, bds, ell, l2_reg, w_mult
-            )[0]
+        def f_ray(alphas, coef, pxs, bds):
+            return ell_ops.f_ray_multi_ell(
+                alphas, coef, pxs, bds, ell, l2_reg, w_mult
+            )
 
         def bdot(d):
             return ell_ops.bdot_ell(d, planes, ell)

@@ -352,6 +352,8 @@ def test_pallas_interpret_parity(rng, monkeypatch):
     bd0 = ell_ops.bdot_ell(D_p, planes, ell)
     rcoef = obj.ray_coef(A_p, D_p, Bsum)
     fr0, gt0 = ell_ops.f_gtd_ray_ell(alpha, rcoef, px0, bd0, ell, 1e2)
+    alphas4 = jnp.stack([alpha * s for s in (1.0, 0.25, 0.0625, 0.015625)])
+    fm0 = ell_ops.f_ray_multi_ell(alphas4, rcoef, px0, bd0, ell, 1e2)
     cf0, cg0, cpx0 = ell_ops.fg_ell(A_p, planes, ell, Bsum, 1e2)
 
     monkeypatch.setattr(ell_ops, "_PALLAS_MODE", "interpret")
@@ -359,6 +361,7 @@ def test_pallas_interpret_parity(rng, monkeypatch):
     h1 = ell_ops.hvp_ell(A_p, planes, ell, w21, 1e2)
     fo1 = ell_ops.f_ell(A_p, planes, ell, Bsum, 1e2)
     fr1, gt1 = ell_ops.f_gtd_ray_ell(alpha, rcoef, px1, bd0, ell, 1e2)
+    fm1 = ell_ops.f_ray_multi_ell(alphas4, rcoef, px1, bd0, ell, 1e2)
     cf1, cg1, cpx1 = ell_ops.fg_ell(A_p, planes, ell, Bsum, 1e2)
 
     np.testing.assert_allclose(f1, f0, rtol=1e-5, atol=1e-2)
@@ -376,6 +379,16 @@ def test_pallas_interpret_parity(rng, monkeypatch):
         np.asarray(fr1)[mr], np.asarray(fr0)[mr], rtol=1e-5, atol=1e-2
     )
     np.testing.assert_allclose(gt1, gt0, rtol=1e-4, atol=1e-1)
+    # multi-candidate ray f: interpret kernel vs jnp path, and candidate 0
+    # must agree with the single-candidate ray evaluation
+    mm = np.isfinite(np.asarray(fm0))
+    np.testing.assert_array_equal(mm, np.isfinite(np.asarray(fm1)))
+    np.testing.assert_allclose(
+        np.asarray(fm1)[mm], np.asarray(fm0)[mm], rtol=1e-5, atol=1e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(fm0[0])[mr], np.asarray(fr0)[mr], rtol=1e-5, atol=1e-2
+    )
     # CG's fused (f, g, px) evaluation
     mc = np.isfinite(np.asarray(cf0))
     np.testing.assert_allclose(
