@@ -759,7 +759,9 @@ def _cascade_logger(ell):
             # two tiny d2h fetches, only under the env flag: global plane
             # sweeps this round and outer iterations actually run
             extra += (f"  passes={float(np.asarray(stats['passes'])):.0f}"
-                      f" it={int(np.asarray(stats['outer_iters']))}")
+                      f" it={int(np.asarray(stats['outer_iters']))}"
+                      f" ls={int(np.asarray(stats['ls_rounds']))}"
+                      f" hvp={int(np.asarray(stats['hvp_rounds']))}")
         if detail and act_next is not None:
             srcs = getattr(ell, "host_aux", {}).get("src", [None] * len(ell.buckets))
             per = [
