@@ -7,12 +7,21 @@ Run:  python examples/lastfm_style_workflow.py [--scale 0.02]
 """
 
 import argparse
+import os
 import sys
 import time
 
 import numpy as np
 
 sys.path.insert(0, ".")
+
+# Honor an explicit CPU selection at the config level: the pre-registered
+# tunnel plugin ignores the env var alone, and a dead tunnel blocks
+# backend init forever (see docs/DESIGN.md, tunnel hazards)
+if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 
 def main():
