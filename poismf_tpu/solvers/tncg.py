@@ -153,6 +153,11 @@ def _tncg_core(
         hvp_rounds=jnp.zeros((), dtype=jnp.int32),
         dbg_search=jnp.zeros((MAX_LS,), dtype=jnp.int32),
         dbg_brack=jnp.zeros((MAX_LS,), dtype=jnp.int32),
+        # rows whose CG direction was altered AFTER the inner loop (cone
+        # projection / steepest-descent fallback) — the rows for which an
+        # inner-CG-accumulated <B,d> plane would be invalid (ROADMAP #0)
+        clip_rows=jnp.zeros((), dtype=jnp.int32),
+        fb_rows=jnp.zeros((), dtype=jnp.int32),
     )
 
     def cond(s):
@@ -240,6 +245,7 @@ def _tncg_core(
         # LSFAIL with a large gradient (found via the factors_single golden
         # parity test: rows stopped at obj 120.67 vs the true optimum
         # 119.13).
+        clipped = jnp.any((x <= 0.0) & (d < 0.0), axis=1)
         d = jnp.where((x <= 0.0) & (d < 0.0), 0.0, d)
 
         # fall back to steepest descent if CG returned junk or ascent
@@ -501,6 +507,9 @@ def _tncg_core(
             hvp_rounds=s["hvp_rounds"] + cg["i"],
             dbg_search=ls["dbg_search"],
             dbg_brack=ls["dbg_brack"],
+            clip_rows=s["clip_rows"]
+            + jnp.sum(active & clipped, dtype=jnp.int32),
+            fb_rows=s["fb_rows"] + jnp.sum(active & bad, dtype=jnp.int32),
             it=s["it"] + 1,
             passes=passes,
         )
@@ -544,6 +553,8 @@ def _stats_dict(out) -> dict:
         hvp_rounds=out["hvp_rounds"],
         dbg_search=out["dbg_search"],
         dbg_brack=out["dbg_brack"],
+        clip_rows=out["clip_rows"],
+        fb_rows=out["fb_rows"],
     )
 
 
