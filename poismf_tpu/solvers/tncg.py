@@ -89,10 +89,9 @@ def _tncg_core(
     has_nnz: jnp.ndarray,
     n_rows: int,
     fgh: Callable,  # x -> (f [R], g [R,k], w2 (opaque), diag [R,k], px)
-    f_gtd_ray: Callable,  # (alpha, coef, px, pd) -> (f [R], g(t).d [R])
+    f_gtd: Callable,  # (trial, d, bd) -> (f [R], g(trial).d [R])
     hvp_with: Callable,  # (w2, fixed_mask) -> (V -> HV)
     bdot: Callable,  # d -> per-edge/plane <B, d> factors (once per LS)
-    ray_coef: Callable,  # (x, d) -> per-row quadratic coefs (once per LS)
     *,
     maxupd: int,
     max_outer,  # scalar (may be traced): outer-iteration cap
@@ -101,7 +100,7 @@ def _tncg_core(
     true_row_mask: Optional[jnp.ndarray] = None,
     active_mask: Optional[jnp.ndarray] = None,
     ftol: float = TNC_FTOL,
-    trial_frac: float = 1.0,  # sweep-fraction cost of one ray trial
+    trial_frac: float = 1.0,  # sweep-fraction cost of one LS trial
     fgh_weight: float = 1.0,  # sweep cost of one fgh eval (incl. px write)
 ):
     """Backend-agnostic batched truncated-Newton driver (see module doc).
@@ -111,13 +110,21 @@ def _tncg_core(
     program; the unchanged-rows share is always computed (its cost is one
     [R, k] diff pass, invisible next to the solve).
 
-    The line search is RAY-BASED: the step is capped at the distance to the
-    nearest bound along d (the reference's stepMax, tnc.c:795 — getptc
-    never evaluates beyond its xbnd, tnc.c:1861-1864), so the trial point
-    is exactly ``x + alpha*d`` and its predictions are the linear
-    combination ``px + alpha*pd`` of planes cached by ``fgh``/``bdot``.
-    Each trial therefore costs a fraction (``trial_frac``) of a full data
-    sweep instead of a whole one."""
+    The line search evaluates PROJECTED trials ``max(0, x + alpha*d)`` with
+    a full data sweep each (``f_gtd``; the ``<B,d>`` factors are hoisted
+    out of the trial loop via ``bdot``).  A ray-based variant — trials
+    capped at the first bound crossing so f comes from cached prediction
+    planes at ~1/9 sweep each — was tried and REVERTED: capping at the
+    nearest bound admits only ONE newly-zeroed coordinate per outer
+    iteration, and rows heading for a >80%-zero optimum then need tens of
+    outer iterations where a projected trial zeroes many coordinates in one
+    accepted step.  Batched, every row pays the max-over-rows iteration
+    count: the ray variant measured 2.5x SLOWER end-to-end (25%-scale tncg
+    fit 28.5 s vs 11.5 s in the same tunnel window) for ~1% better final
+    LL — the multi-bound projected step is what makes the BATCHED solver
+    terminate fast.  (CG keeps its ray line search: the reference's
+    nonnegcg caps at the first bound crossing natively — limit_step,
+    nonnegcg.c:272-288 — so there the ray is exact AND dynamics-neutral.)"""
     R, k = x0.shape
     dtype = x0.dtype
 
@@ -126,14 +133,13 @@ def _tncg_core(
     pgtol = 1e-2 * (rteps ** 0.5)  # tnc.c:431-433 with accuracy=rteps
     xtol = rteps
 
-    f0, g0, w20, diag0, px0 = fgh(x0)
+    f0, g0, w20, diag0, _px0 = fgh(x0)
     state0 = dict(
         x=x0,
         f=f0,
         g=g0,
         w2=w20,
         diag=diag0,
-        px=px0,
         nfeval=jnp.ones((R,), dtype=jnp.int32),
         active=(
             has_nnz & jnp.isfinite(f0)
@@ -260,18 +266,17 @@ def _tncg_core(
         # --- derivative-informed line search (tnc.c linearSearch/getptc) ---
         # Acceptance is getptc-style: sufficient decrease on f (rmu=1e-4,
         # tnc.c:1734) plus the one-sided curvature condition
-        # g(trial).d >= eta * g(x).d (eta=0.25).  Every step is capped at
-        # ``spe`` — the distance to the nearest bound along d — exactly as
-        # the reference caps getptc at stepMax (tnc.c:795, xbnd at
-        # tnc.c:1861-1864); a step accepted AT the cap is the reference's
-        # newcon case (tnc.c:833-835, the new constraint is picked up by the
-        # next iteration's active-set logic).  Under the cap the trial is
-        # exactly x + alpha*d, so each trial's f and directional derivative
-        # come from the cached prediction planes (f_gtd_ray) at a fraction
-        # of a data sweep; only bdot's <B,d> pass reads the planes.
+        # g(trial).d >= eta * g(x).d (eta=0.25).  Each trial evaluates the
+        # PROJECTED point max(0, x + alpha*d) with f AND the directional
+        # derivative in one data pass, exactly like the reference's function
+        # calls inside getptc (tnc.c:1750-1772); the <B,d> factors are
+        # hoisted out of the trial loop (one extra plane/SDDMM pass total).
+        # The projection is what lets one accepted step zero MANY
+        # coordinates at once (the batched-termination lever — see the
+        # module docstring's note on the reverted ray variant).
         # The initial step mirrors initialStep (tnc.c:1371-1382) with the
         # fmin=0 the reference passes (poismf.c:387): alpha0 = 2f/|g.d| when
-        # f > 0, capped at spe.
+        # f > 0, capped at the distance to the nearest bound along d.
         dginit = gtd
         spe = jnp.min(
             jnp.where(d < 0.0, x / jnp.maximum(-d, 1e-30), jnp.inf), axis=1
@@ -283,8 +288,6 @@ def _tncg_core(
         a0 = jnp.minimum(a0, spe)
         a0 = jnp.where(jnp.isfinite(a0) & (a0 > 0.0), a0, 1.0)
         bd = bdot(d)
-        px = s["px"]
-        coef = ray_coef(x, d)  # per-row quadratic coefs, once per LS
 
         ls0 = dict(
             alpha=a0.astype(dtype),
@@ -298,13 +301,9 @@ def _tncg_core(
             f_hi=jnp.full((R,), jnp.inf, dtype=dtype),
             g_hi=jnp.zeros((R,), dtype=dtype),
             found=jnp.zeros((R,), dtype=bool),
-            # accepted / best-seen STEPS, not points: the trial is never
-            # materialized inside the loop ([R,k] traffic per trial would
-            # rival the [P,R] plane streams); x_next is reconstructed once
-            # from the selected step after the loop
-            a_new=jnp.zeros((R,), dtype=dtype),
+            x_new=x,
             f_new=f,
-            a_best=jnp.zeros((R,), dtype=dtype),
+            x_best=x,
             f_best=f,
             searching=active,
             nfeval=nfeval,
@@ -321,26 +320,23 @@ def _tncg_core(
 
         def ls_body(t):
             alpha = t["alpha"]
-            f_t, gu = f_gtd_ray(alpha, coef, px, bd)
+            trial = jnp.maximum(x + alpha[:, None] * d, 0.0)
+            f_t, gu = f_gtd(trial, d, bd)
             suff = jnp.isfinite(f_t) & (f_t <= f + LS_RMU * alpha * dginit)
             # strong-Wolfe curvature: |g(trial).d| <= eta |g(x).d| - the
             # trial brackets getptc's 1-D stationary point rather than
             # accepting arbitrary overshoot
             curv_lo = gu >= TNC_ETA * dginit  # not still steeply descending
             curv_hi = gu <= -TNC_ETA * dginit  # not past the minimum
-            # at the bound with sufficient decrease and the 1-D minimum
-            # still ahead: take the bound step (the reference's newcon path,
-            # tnc.c:833-835)
-            at_cap = alpha >= spe * (1.0 - 1e-6)
-            ok = suff & ((curv_lo & curv_hi) | (at_cap & ~curv_lo))
+            ok = suff & curv_lo & curv_hi
             accept = t["searching"] & ok
-            a_new = jnp.where(accept, alpha, t["a_new"])
+            x_new = jnp.where(accept[:, None], trial, t["x_new"])
             f_new = jnp.where(accept, f_t, t["f_new"])
             # getptc keeps the lowest f seen (its fmin); if the bracket
             # collapses without a Wolfe point, that best point is returned
             # as long as it decreased f (tnc.c:1785-1789 via getptc's fmin)
             better = t["searching"] & jnp.isfinite(f_t) & (f_t < t["f_best"])
-            a_best = jnp.where(better, alpha, t["a_best"])
+            x_best = jnp.where(better[:, None], trial, t["x_best"])
             f_best = jnp.where(better, f_t, t["f_best"])
             nfe = t["nfeval"] + t["searching"].astype(jnp.int32)
             searching = t["searching"] & ~ok & (nfe < maxupd)
@@ -356,36 +352,17 @@ def _tncg_core(
             f_lo = jnp.where(to_lo, f_t, t["f_lo"])
             g_lo = jnp.where(to_lo, gu, t["g_lo"])
             has_hi = jnp.isfinite(hi)
-            # Bracketed rows take a SAFEGUARDED CUBIC step — the Hermite
-            # minimizer through (lo, f_lo, g_lo), (hi, f_hi, g_hi), the
-            # same family as getptc's interpolation (tnc.c:1890-2154) —
-            # clipped away from the bracket ends; rows whose cubic is
-            # undefined (poisoned f_hi from an inf trial, negative
-            # radicand, degenerate denominator) bisect as before.
-            # Bisection needed ~14 whole-batch rounds per outer iteration
-            # (max over rows); the cubic typically settles in 3-6.
+            # Bracketed rows BISECT.  A safeguarded-cubic step (getptc's
+            # Hermite minimizer through the bracket ends) was tried and
+            # REVERTED: it did not shrink the whole-batch LS round count
+            # (the max-over-rows tail is extrapolating rows, which the
+            # cubic does not touch) and its better-placed points made rows
+            # decrease f by more than ftol for MORE outer iterations —
+            # measured +40% fit wall at 25% scale (20.2 s vs 14.6 s in the
+            # same tunnel window) for <0.1% final-LL gain.  Termination
+            # speed, not point quality, is what the batched solver buys
+            # time with (same lesson as the reverted ray trials above).
             span = hi - lo
-            d1 = g_lo + g_hi + 3.0 * (f_lo - f_hi) / jnp.maximum(
-                span, 1e-30
-            )
-            rad = d1 * d1 - g_lo * g_hi
-            d2 = jnp.sqrt(jnp.maximum(rad, 0.0))
-            denom = g_hi - g_lo + 2.0 * d2
-            a_cubic = hi - span * (g_hi + d2 - d1) / denom
-            cubic_ok = (
-                has_hi
-                & jnp.isfinite(f_hi)
-                & (rad >= 0.0)
-                & (jnp.abs(denom) > 1e-30)
-                & jnp.isfinite(a_cubic)
-            )
-            a_brack = jnp.where(
-                cubic_ok,
-                # 0.1 safeguard (getptc's factor): guarantees >= 10%
-                # bracket shrink per round even when the cubic stalls
-                jnp.clip(a_cubic, lo + 0.1 * span, hi - 0.1 * span),
-                0.5 * (lo + hi),
-            )
             # getptc terminates when the bracket collapses (its tol test,
             # tnc.c:1901-1913) — batched, a single numerically-dead row
             # otherwise spins the WHOLE batch to MAX_LS every outer
@@ -400,21 +377,18 @@ def _tncg_core(
                 <= 16.0 * eps_f * (1.0 + jnp.abs(f))
             )
             searching = searching & ~dead
-            # extrapolation clamps to spe so the trial never crosses a bound
-            # (keeping the ray linearization exact); rows with spe = inf
-            # (no negative direction component) extrapolate freely
+            # unbounded extrapolation: the projected trial max(0, .) keeps
+            # any alpha feasible, so growth past the first bound crossing is
+            # exactly how one step zeroes many coordinates
             alpha = jnp.where(
                 searching,
-                jnp.where(
-                    has_hi, a_brack,
-                    jnp.minimum(alpha * LS_EXTRAP, spe),
-                ),
+                jnp.where(has_hi, 0.5 * (lo + hi), alpha * LS_EXTRAP),
                 alpha,
             )
             return dict(alpha=alpha, lo=lo, hi=hi,
                         f_lo=f_lo, g_lo=g_lo, f_hi=f_hi, g_hi=g_hi,
                         found=t["found"] | accept,
-                        a_new=a_new, f_new=f_new, a_best=a_best,
+                        x_new=x_new, f_new=f_new, x_best=x_best,
                         f_best=f_best, searching=searching,
                         dbg_search=t["dbg_search"].at[t["t"]].set(
                             jnp.sum(t["searching"].astype(jnp.int32))),
@@ -426,33 +400,14 @@ def _tncg_core(
         ls = lax.while_loop(ls_cond, ls_body, ls0)
 
         # Wolfe point if found, else the best simple-decrease point; LSFAIL
-        # only when no trial decreased f at all.  Reconstruct the selected
-        # point from its step (a_sel <= spe, so the max(0, .) only cleans
-        # rounding residue exactly as the in-loop trial did)
+        # only when no trial decreased f at all.  (The ray variant's
+        # snap-to-bound fixup is unnecessary here: the projected trial's
+        # max(0, .) produces exact zeros by construction.)
         fallback = active & ~ls["found"] & (ls["f_best"] < f)
         moved = ls["found"] | fallback
-        a_sel = jnp.where(
-            ls["found"], ls["a_new"], jnp.where(fallback, ls["a_best"], 0.0)
-        )
         x_next = jnp.where(
-            moved[:, None],
-            jnp.maximum(x + a_sel[:, None] * d, 0.0),
-            x,
-        )
-        # addConstraint analog (tnc.c:1076-1084): a coordinate that moved
-        # toward the bound and landed within 10*eps*(1+|x|) of it is pivoted
-        # EXACTLY onto the bound.  Without this, a bound step accepted at
-        # spe leaves rounding residue (~eps*x) that keeps the coordinate
-        # "free": the next direction pushes it negative again, spe collapses
-        # to ~residue/|d|, and the microscopic step trips conv_x — rows
-        # terminate far short of the optimum (caught by the factors_single
-        # golden parity test).  Snapping flips the face, which also skips
-        # the convergence tests this iteration (the reference's newcon
-        # guard, tnc.c:906-907, via same_face below).
-        eps_dt = float(_np.finfo(_np.dtype(str(dtype))).eps)
-        snap_tol = 10.0 * eps_dt * (1.0 + jnp.abs(x))
-        x_next = jnp.where(
-            moved[:, None] & (d < 0.0) & (x_next <= snap_tol), 0.0, x_next
+            ls["found"][:, None], ls["x_new"],
+            jnp.where(fallback[:, None], ls["x_best"], x),
         )
         f_next = jnp.where(
             ls["found"], ls["f_new"], jnp.where(fallback, ls["f_best"], f)
@@ -481,13 +436,12 @@ def _tncg_core(
 
         # f/g/Hessian data at the accepted point, all in one fused pass
         # (+1 eval for rows that moved)
-        _, g_next, w2_next, diag_next, px_next = fgh(x_next)
+        _, g_next, w2_next, diag_next, _px_next = fgh(x_next)
         nfe = ls["nfeval"] + moved.astype(jnp.int32)
 
         # sweeps this outer iteration: one per inner-CG HVP, one for the
-        # hoisted <B,d> (bdot), a trial_frac-weighted fraction per ray
-        # line-search trial, and fgh_weight for the f/g/Hessian refresh at
-        # the accepted point (incl. its px plane write)
+        # hoisted <B,d> (bdot), trial_frac per line-search trial, and
+        # fgh_weight for the f/g/Hessian refresh at the accepted point
         passes = (
             s["passes"] + cg["i"].astype(jnp.float32)
             + ls["t"].astype(jnp.float32) * trial_frac
@@ -500,7 +454,6 @@ def _tncg_core(
             g=g_next,
             w2=w2_next,
             diag=diag_next,
-            px=px_next,
             nfeval=nfe,
             active=active_next,
             ls_rounds=s["ls_rounds"] + ls["t"],
@@ -601,22 +554,18 @@ def _tncg_update_jit(
         return obj.poisson_fgh(Acur, B, X, Bsum, l2_reg, w_mult, nnz_chunk,
                                l2_in_f=l2_in_f)
 
-    def f_gtd_ray(alpha, coef, px, bd):
-        return obj.poisson_f_gtd_ray(alpha, coef, px, bd, X,
-                                     l2_reg, w_mult, nnz_chunk,
-                                     l2_in_f=l2_in_f)
+    def f_gtd(trial, d, bd):
+        return obj.poisson_f_gtd(trial, d, bd, B, X, Bsum, l2_reg, w_mult,
+                                 nnz_chunk, l2_in_f=l2_in_f)
 
     def bdot(d):
         return obj.poisson_bdot(d, B, X)
 
-    def ray_coef(x, d):
-        return obj.ray_coef(x, d, Bsum)
-
     # sweep-cost fractions for the achieved-bandwidth accounting: a full
     # COO sweep streams rows+cols+vals (12 B/nnz) plus the k-vector B
-    # gather; a ray trial streams rows+vals+px+bd (16 B/nnz)
+    # gather; a projected trial adds the hoisted bd stream (4 B/nnz)
     full_b = 4.0 * k + 12.0
-    trial_frac = 16.0 / full_b
+    trial_frac = 1.0 + 4.0 / full_b
     fgh_weight = 1.0 + 8.0 / full_b  # + w2 and px writes
 
     def hvp_with(w2):
@@ -634,7 +583,7 @@ def _tncg_update_jit(
     )
 
     x_final, share, out = _tncg_core(
-        x0, has_nnz, X.n_rows, fgh, f_gtd_ray, hvp_with, bdot, ray_coef,
+        x0, has_nnz, X.n_rows, fgh, f_gtd, hvp_with, bdot,
         maxupd=maxupd, max_outer=max_outer, maxcg=maxcg,
         x_prev_for_unchanged=jnp.where(has_nnz[:, None], A, 0.0),
         ftol=ftol, trial_frac=trial_frac, fgh_weight=fgh_weight,
@@ -728,15 +677,12 @@ def _tncg_update_ell_jit(
         return ell_ops.fgh_ell(Acur, planes, ell, Bsum, l2_reg, w_mult,
                                l2_in_f=l2_in_f)
 
-    def f_gtd_ray(alpha, coef, pxs, bds):
-        return ell_ops.f_gtd_ray_ell(alpha, coef, pxs, bds, ell,
-                                     l2_reg, w_mult, l2_in_f=l2_in_f)
+    def f_gtd(trial, d, bds):
+        return ell_ops.f_gtd_ell(trial, d, bds, planes, ell, Bsum,
+                                 l2_reg, w_mult, l2_in_f=l2_in_f)
 
     def bdot(d):
         return ell_ops.bdot_ell(d, planes, ell)
-
-    def ray_coef(x, d):
-        return obj.ray_coef(x, d, Bsum)
 
     def hvp_with(w2s):
         def hvp(V):
@@ -752,15 +698,15 @@ def _tncg_update_ell_jit(
     )
 
     # sweep-cost fractions for the achieved-bandwidth accounting: a full
-    # plane sweep streams k*itemsize + 4 (vals) bytes per slot; a ray trial
-    # streams px+pd+vals f32 (12 B/slot)
+    # plane sweep streams k*itemsize + 4 (vals) bytes per slot; a projected
+    # trial adds the hoisted bd plane stream (4 B/slot)
     it = planes[0].dtype.itemsize if planes else A_perm.dtype.itemsize
     full_b = float(k * it + 4)
-    trial_frac = 12.0 / full_b
+    trial_frac = 1.0 + 4.0 / full_b
     fgh_weight = 1.0 + 8.0 / full_b  # + w2 and px plane writes
 
     x_final, share, out = _tncg_core(
-        x0, has_nnz, ell.n_rows, fgh, f_gtd_ray, hvp_with, bdot, ray_coef,
+        x0, has_nnz, ell.n_rows, fgh, f_gtd, hvp_with, bdot,
         maxupd=maxupd, max_outer=max_outer, maxcg=maxcg,
         x_prev_for_unchanged=jnp.where(has_nnz[:, None], A_perm, 0.0),
         true_row_mask=has_nnz,  # ELL slots with nnz are exactly the true rows
