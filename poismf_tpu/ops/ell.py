@@ -562,11 +562,14 @@ def _pallas_state():
     return "compiled" if jax.default_backend() == "tpu" else None
 
 
-def _bucket_data_fgh(b: EllBucket, bg, A_T, w_mult: float):
+def _bucket_data_fgh(b: EllBucket, bg, A_T, w_mult: float,
+                     want_pred: bool = True):
     """One bucket's fused data terms; Pallas single-plane-read kernel on TPU,
     jnp fallback elsewhere.  Returns (neg_llk [R], grad [R,k], diag [R,k],
-    w2 [P,R], pred [P,R]).  ``pred`` is the raw (unfloored) prediction plane
-    consumed by the ray line search (see f_gtd_ray_ell)."""
+    w2 [P,R], pred [P,R] or None).  ``pred`` is the raw (unfloored)
+    prediction plane consumed by the ray line search (see f_gtd_ray_ell);
+    ``want_pred=False`` skips its HBM write (TNCG's projected-trial search
+    never reads it)."""
     import jax.numpy as jnp
 
     mode = _pallas_state()
@@ -575,11 +578,13 @@ def _bucket_data_fgh(b: EllBucket, bg, A_T, w_mult: float):
 
         nll, grad, diag, w2, pred = pk.fgh_bucket(
             bg, b.vals.astype(jnp.float32), A_T.astype(jnp.float32),
-            w_mult=float(w_mult), interpret=(mode == "interpret"),
+            w_mult=float(w_mult), want_pred=want_pred,
+            interpret=(mode == "interpret"),
         )
         dt = A_T.dtype
         return (nll.astype(dt), grad.T.astype(dt), diag.T.astype(dt),
-                w2.astype(dt), pred.astype(dt))
+                w2.astype(dt),
+                pred.astype(dt) if want_pred else None)
 
     pred = jnp.sum(bg * A_T[:, None, :], axis=0)  # [P, R_b]
     safe = jnp.maximum(pred, PRED_EPS)
@@ -592,7 +597,7 @@ def _bucket_data_fgh(b: EllBucket, bg, A_T, w_mult: float):
         -jnp.sum(w[None] * bg, axis=1).T,
         jnp.sum(w2[None] * (bg * bg), axis=1).T,
         w2,
-        pred,
+        pred if want_pred else None,
     )
 
 
@@ -667,6 +672,65 @@ def f_gtd_ell(
     for b, bg, bd_b in zip(ell.buckets, planes, bds):
         A_T = _bucket_x(A_perm, b).T
         nll, gud = _bucket_data_f_gtd(b, bg, A_T, bd_b)
+        nlls.append(nll)
+        guds.append(gud)
+    nll = _assemble(ell, nlls, (), dtype)
+    gud = _assemble(ell, guds, (), dtype)
+    from .objective import combine_f_gtd
+
+    return combine_f_gtd(nll, gud, A_perm, D_perm, Bsum, l2_reg, w_mult,
+                         l2_in_f)
+
+
+def _bucket_data_f_gtd_fused(b: EllBucket, bg, A_T, D_T):
+    """One bucket's (f, g.d) data terms with the ``<B, d>`` factors computed
+    from the in-register bg block — no hoisted bd plane (see
+    pallas_kernels.f_gtd_fused_bucket)."""
+    import jax.numpy as jnp
+
+    mode = _pallas_state()
+    if mode is not None and bg.dtype != jnp.float64:
+        from . import pallas_kernels as pk
+
+        nll, gud = pk.f_gtd_fused_bucket(
+            bg, b.vals.astype(jnp.float32), A_T.astype(jnp.float32),
+            D_T.astype(jnp.float32), interpret=(mode == "interpret"),
+        )
+        return nll.astype(A_T.dtype), gud.astype(A_T.dtype)
+    pred = jnp.sum(bg * A_T[:, None, :], axis=0)  # [P, R_b]
+    bd = jnp.sum(bg * D_T[:, None, :], axis=0)
+    logt = jnp.where(b.vals > 0, b.vals * jnp.log(pred), 0.0)
+    nll = -jnp.sum(logt, axis=0)
+    ratio = jnp.where(
+        b.vals > 0, b.vals * bd / jnp.maximum(pred, PRED_EPS), 0.0
+    )
+    gud = jnp.sum(ratio, axis=0)
+    return nll, gud
+
+
+def f_gtd_fused_ell(
+    A_perm,
+    D_perm,
+    planes: Sequence[Any],
+    ell: EllMatrix,
+    Bsum,
+    l2_reg: float,
+    w_mult: float = 1.0,
+    l2_in_f: bool = True,
+):
+    """Objective and directional derivative ``g(trial) . d`` per row in one
+    plane sweep with ``<B, d>`` computed in-register — the bd-plane-free
+    twin of :func:`f_gtd_ell`.  The kernels are HBM-bound, so the second
+    k-deep dot per slot is free while the hoisted-bd scheme cost a full
+    extra plane sweep per line search (bdot) plus 4 B/slot per trial."""
+    import jax.numpy as jnp
+
+    dtype = A_perm.dtype
+    nlls, guds = [], []
+    for b, bg in zip(ell.buckets, planes):
+        A_T = _bucket_x(A_perm, b).T
+        D_T = _bucket_x(D_perm, b).T
+        nll, gud = _bucket_data_f_gtd_fused(b, bg, A_T, D_T)
         nlls.append(nll)
         guds.append(gud)
     nll = _assemble(ell, nlls, (), dtype)
@@ -822,6 +886,7 @@ def fgh_ell(
     l2_reg: float,
     w_mult: float = 1.0,
     l2_in_f: bool = True,
+    want_px: bool = True,
 ):
     """Fused f / grad / HVP-weights / Hessian-diagonal over all buckets.
     ``l2_in_f=False`` omits the l2 penalty from f only, matching the
@@ -831,8 +896,9 @@ def fgh_ell(
     ``A_perm``: [n_rows_pad, k] in permuted row order.  ``Bsum`` is [k]
     (shared) or [n_rows_pad, k] (per-row, ALREADY permuted).  Returns
     ``(f [R], g [R,k], w2 (per-bucket [P,R_b] tuple), diag [R,k],
-    px (per-bucket raw prediction planes))`` — ``px`` feeds the ray line
-    search (f_gtd_ray_ell).
+    px (per-bucket raw prediction planes, or None))`` — ``px`` feeds ray
+    line searches; ``want_px=False`` (TNCG, whose projected-trial search
+    never reads it) skips the plane's HBM write entirely.
 
     Same math as :func:`poismf_tpu.ops.objective.poisson_fgh` (see the
     reference's calc_fun_and_grad, poismf.c:242-273), reorganized so every
@@ -845,12 +911,14 @@ def fgh_ell(
     neg_llks, grads, diags, w2s, preds = [], [], [], [], []
     for b, bg in zip(ell.buckets, planes):
         A_T = _bucket_x(A_perm, b).T  # [k, R_b]
-        nll, gd, dd, w2, pred = _bucket_data_fgh(b, bg, A_T, w_mult)
+        nll, gd, dd, w2, pred = _bucket_data_fgh(b, bg, A_T, w_mult,
+                                                 want_pred=want_px)
         neg_llks.append(nll)  # [R_b]
         grads.append(gd)  # [R_b, k]
         diags.append(dd)  # [R_b, k]
         w2s.append(w2)
-        preds.append(pred)
+        if want_px:
+            preds.append(pred)
 
     neg_llk = _assemble(ell, neg_llks, (), dtype)
     grad_data = _assemble(ell, grads, (k,), dtype)
@@ -870,7 +938,7 @@ def fgh_ell(
     f = lin + neg_llk
     g = g_lin + 2.0 * l2_reg * A_perm + grad_data
     diag = 2.0 * l2_reg + diag_data
-    return f, g, tuple(w2s), diag, tuple(preds)
+    return f, g, tuple(w2s), diag, (tuple(preds) if want_px else None)
 
 
 def f_ell(

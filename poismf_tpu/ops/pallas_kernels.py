@@ -67,8 +67,8 @@ def _f32(x):
 # ---------------------------------------------------------------------------
 
 
-def _fgh_kernel(w_mult, bg_ref, vals_ref, at_ref,
-                nll_ref, grad_ref, diag_ref, w2_ref, pred_ref):
+def _fgh_kernel(w_mult, want_pred, bg_ref, vals_ref, at_ref,
+                nll_ref, grad_ref, diag_ref, w2_ref, pred_ref=None):
     pj = pl.program_id(1)
 
     @pl.when(pj == 0)
@@ -90,25 +90,50 @@ def _fgh_kernel(w_mult, bg_ref, vals_ref, at_ref,
     grad_ref[...] += jnp.sum((-w)[None] * bg, axis=1)
     diag_ref[...] += jnp.sum(w2[None] * (bg * bg), axis=1)
     w2_ref[...] = w2
-    pred_ref[...] = pred  # raw (unfloored) - ray trials must poison exactly
+    if want_pred:
+        pred_ref[...] = pred  # raw (unfloored) - ray trials must poison
 
 
-@functools.partial(jax.jit, static_argnames=("w_mult", "interpret"))
-def fgh_bucket(bg, vals, a_t, w_mult: float = 1.0, interpret: bool = False):
+@functools.partial(
+    jax.jit, static_argnames=("w_mult", "want_pred", "interpret")
+)
+def fgh_bucket(bg, vals, a_t, w_mult: float = 1.0, want_pred: bool = True,
+               interpret: bool = False):
     """Fused data-term evaluation for one bucket.
 
     bg [k, P, R] (any float dtype), vals [P, R] f32, a_t [k, R] f32 ->
     (neg_llk [R], grad_data [k, R], diag_data [k, R], w2 [P, R],
-    pred [P, R]).  ``pred`` is the raw (unfloored) prediction plane; the
-    line search evaluates trials along the ray from it (see ray_bucket) so
-    the per-trial cost drops from a full [k, P, R] plane read to three
-    [P, R] streams.
+    pred [P, R] or None).  ``pred`` is the raw (unfloored) prediction plane
+    consumed by ray line searches (see ray_bucket); solvers that evaluate
+    projected trials instead (TNCG) pass ``want_pred=False`` — pallas
+    outputs are real HBM writes XLA cannot dead-code-eliminate, ~4 B/slot
+    of avoidable traffic per fgh refresh.
     """
     k, P, Rb = bg.shape
     tp, tr = _tiles(P, Rb, k, bg.dtype.itemsize)
     grid = (Rb // tr, P // tp)
+    out_specs = [
+        pl.BlockSpec((1, tr), lambda ri, pj: (0, ri),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((k, tr), lambda ri, pj: (0, ri),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((k, tr), lambda ri, pj: (0, ri),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tp, tr), lambda ri, pj: (pj, ri),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((1, Rb), jnp.float32),
+        jax.ShapeDtypeStruct((k, Rb), jnp.float32),
+        jax.ShapeDtypeStruct((k, Rb), jnp.float32),
+        jax.ShapeDtypeStruct((P, Rb), jnp.float32),
+    ]
+    if want_pred:
+        out_specs.append(pl.BlockSpec((tp, tr), lambda ri, pj: (pj, ri),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((P, Rb), jnp.float32))
     out = pl.pallas_call(
-        functools.partial(_fgh_kernel, w_mult),
+        functools.partial(_fgh_kernel, w_mult, want_pred),
         grid=grid,
         in_specs=[
             pl.BlockSpec((k, tp, tr), lambda ri, pj: (0, pj, ri),
@@ -118,29 +143,12 @@ def fgh_bucket(bg, vals, a_t, w_mult: float = 1.0, interpret: bool = False):
             pl.BlockSpec((k, tr), lambda ri, pj: (0, ri),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, tr), lambda ri, pj: (0, ri),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, tr), lambda ri, pj: (0, ri),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, tr), lambda ri, pj: (0, ri),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tp, tr), lambda ri, pj: (pj, ri),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tp, tr), lambda ri, pj: (pj, ri),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((1, Rb), jnp.float32),
-            jax.ShapeDtypeStruct((k, Rb), jnp.float32),
-            jax.ShapeDtypeStruct((k, Rb), jnp.float32),
-            jax.ShapeDtypeStruct((P, Rb), jnp.float32),
-            jax.ShapeDtypeStruct((P, Rb), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(bg, vals, a_t)
-    nll, grad, diag, w2, pred = out
-    return nll[0], grad, diag, w2, pred
+    nll, grad, diag, w2 = out[:4]
+    return nll[0], grad, diag, w2, (out[4] if want_pred else None)
 
 
 # ---------------------------------------------------------------------------
@@ -359,6 +367,77 @@ def f_gtd_bucket(bg, vals, a_t, bd, interpret: bool = False):
         ],
         interpret=interpret,
     )(bg, vals, a_t, bd)
+    return nll[0], gud[0]
+
+
+# ---------------------------------------------------------------------------
+# f + directional derivative with the <B, d> dot computed IN-REGISTER from
+# the same bg block the prediction dot already loaded.  Replaces the hoisted
+# bd-plane scheme (bdot sweep + 4 B/slot bd read per trial) for the TNCG
+# projected-trial line search: the kernels are HBM-bound (measured ~335 of a
+# 601 GB/s practical ceiling) so the second k-deep dot is free, while the
+# bdot sweep cost a FULL extra plane read per line search (ROADMAP #0 /
+# round-3 verdict item 5).  The d operand is a [k, R] block like a_t —
+# ~1/P of the plane traffic, invisible.
+# ---------------------------------------------------------------------------
+
+
+def _f_gtd_fused_kernel(bg_ref, vals_ref, at_ref, dt_ref, nll_ref, gud_ref):
+    pj = pl.program_id(1)
+
+    @pl.when(pj == 0)
+    def _():
+        nll_ref[...] = jnp.zeros_like(nll_ref)
+        gud_ref[...] = jnp.zeros_like(gud_ref)
+
+    bg = _f32(bg_ref[...])  # [k, TP, TR]
+    a = at_ref[...]  # [k, TR]
+    d = dt_ref[...]  # [k, TR]
+    vals = vals_ref[...]
+    pred = jnp.sum(bg * a[:, None, :], axis=0)  # [TP, TR]
+    bd = jnp.sum(bg * d[:, None, :], axis=0)  # [TP, TR]
+    logt = jnp.where(vals > 0, vals * jnp.log(pred), 0.0)
+    nll_ref[...] += -jnp.sum(logt, axis=0)[None, :]
+    ratio = jnp.where(vals > 0, vals * bd / jnp.maximum(pred, PRED_EPS), 0.0)
+    gud_ref[...] += jnp.sum(ratio, axis=0)[None, :]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def f_gtd_fused_bucket(bg, vals, a_t, d_t, interpret: bool = False):
+    """Trial f and g.d data terms with the ``<B, d>`` factors computed from
+    the in-register bg block (no separate bd plane).
+
+    bg [k, P, R], vals [P, R] f32, a_t [k, R] f32 (the trial), d_t [k, R]
+    f32 (the direction) -> (neg_llk [R], gud [R]).
+    """
+    k, P, Rb = bg.shape
+    tp, tr = _tiles(P, Rb, k, bg.dtype.itemsize)
+    grid = (Rb // tr, P // tp)
+    nll, gud = pl.pallas_call(
+        _f_gtd_fused_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((k, tp, tr), lambda ri, pj: (0, pj, ri),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tp, tr), lambda ri, pj: (pj, ri),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, tr), lambda ri, pj: (0, ri),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, tr), lambda ri, pj: (0, ri),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tr), lambda ri, pj: (0, ri),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tr), lambda ri, pj: (0, ri),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, Rb), jnp.float32),
+            jax.ShapeDtypeStruct((1, Rb), jnp.float32),
+        ],
+        interpret=interpret,
+    )(bg, vals, a_t, d_t)
     return nll[0], gud[0]
 
 

@@ -91,7 +91,7 @@ def _tncg_core(
     fgh: Callable,  # x -> (f [R], g [R,k], w2 (opaque), diag [R,k], px)
     f_gtd: Callable,  # (trial, d, bd) -> (f [R], g(trial).d [R])
     hvp_with: Callable,  # (w2, fixed_mask) -> (V -> HV)
-    bdot: Callable,  # d -> per-edge/plane <B, d> factors (once per LS)
+    bdot: Callable,  # d -> hoisted <B, d> factors, or None (fused f_gtd)
     *,
     maxupd: int,
     max_outer,  # scalar (may be traced): outer-iteration cap
@@ -101,7 +101,9 @@ def _tncg_core(
     active_mask: Optional[jnp.ndarray] = None,
     ftol: float = TNC_FTOL,
     trial_frac: float = 1.0,  # sweep-fraction cost of one LS trial
-    fgh_weight: float = 1.0,  # sweep cost of one fgh eval (incl. px write)
+    fgh_weight: float = 1.0,  # sweep cost of one fgh eval (aux plane writes)
+    bdot_weight: float = 1.0,  # sweep cost of the hoisted <B,d> pass (0 when
+    # the backend's f_gtd computes <B,d> in-register from the same block)
 ):
     """Backend-agnostic batched truncated-Newton driver (see module doc).
 
@@ -111,8 +113,10 @@ def _tncg_core(
     [R, k] diff pass, invisible next to the solve).
 
     The line search evaluates PROJECTED trials ``max(0, x + alpha*d)`` with
-    a full data sweep each (``f_gtd``; the ``<B,d>`` factors are hoisted
-    out of the trial loop via ``bdot``).  A ray-based variant — trials
+    a full data sweep each (``f_gtd``; the ``<B,d>`` factors either come
+    from a hoisted ``bdot`` pass or — on the ELL backend — are computed
+    in-register from the same plane block, ``bdot_weight=0``).  A
+    ray-based variant — trials
     capped at the first bound crossing so f comes from cached prediction
     planes at ~1/9 sweep each — was tried and REVERTED: capping at the
     nearest bound admits only ONE newly-zeroed coordinate per outer
@@ -150,7 +154,7 @@ def _tncg_core(
         # GLOBAL count of full plane/edge sweeps (every batched evaluation
         # reads the whole data structure regardless of per-row activity) —
         # the basis for the benchmark's achieved-bandwidth accounting.
-        # Init fgh (incl. its px plane write).
+        # Init fgh (incl. its aux plane writes).
         passes=jnp.full((), fgh_weight, dtype=jnp.float32),
         # whole-batch LS trial rounds / inner-CG HVP rounds (diagnostics:
         # the LS tail is max-over-rows, so its round count is the lever
@@ -270,7 +274,8 @@ def _tncg_core(
         # PROJECTED point max(0, x + alpha*d) with f AND the directional
         # derivative in one data pass, exactly like the reference's function
         # calls inside getptc (tnc.c:1750-1772); the <B,d> factors are
-        # hoisted out of the trial loop (one extra plane/SDDMM pass total).
+        # either hoisted out of the trial loop (COO: one extra SDDMM pass)
+        # or fused into the trial kernel (ELL: zero extra traffic).
         # The projection is what lets one accepted step zero MANY
         # coordinates at once (the batched-termination lever — see the
         # module docstring's note on the reverted ray variant).
@@ -352,17 +357,44 @@ def _tncg_core(
             f_lo = jnp.where(to_lo, f_t, t["f_lo"])
             g_lo = jnp.where(to_lo, gu, t["g_lo"])
             has_hi = jnp.isfinite(hi)
-            # Bracketed rows BISECT.  A safeguarded-cubic step (getptc's
-            # Hermite minimizer through the bracket ends) was tried and
-            # REVERTED: it did not shrink the whole-batch LS round count
-            # (the max-over-rows tail is extrapolating rows, which the
-            # cubic does not touch) and its better-placed points made rows
-            # decrease f by more than ftol for MORE outer iterations —
-            # measured +40% fit wall at 25% scale (20.2 s vs 14.6 s in the
-            # same tunnel window) for <0.1% final-LL gain.  Termination
-            # speed, not point quality, is what the batched solver buys
-            # time with (same lesson as the reverted ray trials above).
+            # Bracketed rows take a SAFEGUARDED CUBIC step — the Hermite
+            # minimizer through (lo, f_lo, g_lo), (hi, f_hi, g_hi), the
+            # same family as getptc's interpolation (tnc.c:1890-2154) —
+            # clipped away from the bracket ends; rows whose cubic is
+            # undefined (poisoned f_hi from an inf trial, negative
+            # radicand, degenerate denominator) bisect instead.
+            # A bisection-only search was tried at the end of round 3 and
+            # REVERTED: it was never TPU-verified, and on the small-scale
+            # layout-parity fit (150x60, niter=4, maxupd=100) it lands an
+            # 18% worse objective (-5873/-6078 vs -4961 for both layouts
+            # with the cubic) and pushes the two layouts 3.5% apart —
+            # bisection converges the bracket linearly, so rows burn their
+            # maxupd nfeval budget on mediocre points and terminate early.
+            # The cubic costs ~25-40% more wall at 25% scale (20.2 s vs
+            # 14.6 s measured in the same tunnel window) and buys ~1%
+            # better final LL at full scale plus layout-exact dynamics.
             span = hi - lo
+            d1 = g_lo + g_hi + 3.0 * (f_lo - f_hi) / jnp.maximum(
+                span, 1e-30
+            )
+            rad = d1 * d1 - g_lo * g_hi
+            d2 = jnp.sqrt(jnp.maximum(rad, 0.0))
+            denom = g_hi - g_lo + 2.0 * d2
+            a_cubic = hi - span * (g_hi + d2 - d1) / denom
+            cubic_ok = (
+                has_hi
+                & jnp.isfinite(f_hi)
+                & (rad >= 0.0)
+                & (jnp.abs(denom) > 1e-30)
+                & jnp.isfinite(a_cubic)
+            )
+            a_brack = jnp.where(
+                cubic_ok,
+                # 0.1 safeguard (getptc's factor): guarantees >= 10%
+                # bracket shrink per round even when the cubic stalls
+                jnp.clip(a_cubic, lo + 0.1 * span, hi - 0.1 * span),
+                0.5 * (lo + hi),
+            )
             # getptc terminates when the bracket collapses (its tol test,
             # tnc.c:1901-1913) — batched, a single numerically-dead row
             # otherwise spins the WHOLE batch to MAX_LS every outer
@@ -382,7 +414,7 @@ def _tncg_core(
             # exactly how one step zeroes many coordinates
             alpha = jnp.where(
                 searching,
-                jnp.where(has_hi, 0.5 * (lo + hi), alpha * LS_EXTRAP),
+                jnp.where(has_hi, a_brack, alpha * LS_EXTRAP),
                 alpha,
             )
             return dict(alpha=alpha, lo=lo, hi=hi,
@@ -439,13 +471,14 @@ def _tncg_core(
         _, g_next, w2_next, diag_next, _px_next = fgh(x_next)
         nfe = ls["nfeval"] + moved.astype(jnp.int32)
 
-        # sweeps this outer iteration: one per inner-CG HVP, one for the
-        # hoisted <B,d> (bdot), trial_frac per line-search trial, and
-        # fgh_weight for the f/g/Hessian refresh at the accepted point
+        # sweeps this outer iteration: one per inner-CG HVP, bdot_weight
+        # for the hoisted <B,d> (0 when f_gtd fuses it), trial_frac per
+        # line-search trial, and fgh_weight for the f/g/Hessian refresh at
+        # the accepted point
         passes = (
             s["passes"] + cg["i"].astype(jnp.float32)
             + ls["t"].astype(jnp.float32) * trial_frac
-            + 1.0 + fgh_weight
+            + bdot_weight + fgh_weight
         )
 
         return dict(
@@ -672,17 +705,23 @@ def _tncg_update_ell_jit(
     maxcg = _maxcgit(k) if max_cg is None else max(1, int(max_cg))
 
     # l2_in_f: calc_fun_and_grad parity for training, consistent objective
-    # for deep serving solves (see _tncg_update_jit)
+    # for deep serving solves (see _tncg_update_jit).  want_px=False: the
+    # projected-trial line search never reads the prediction planes, and a
+    # pallas output is a real HBM write XLA cannot eliminate.
     def fgh(Acur):
         return ell_ops.fgh_ell(Acur, planes, ell, Bsum, l2_reg, w_mult,
-                               l2_in_f=l2_in_f)
+                               l2_in_f=l2_in_f, want_px=False)
 
+    # <B,d> is computed in-register from the same plane block the trial's
+    # prediction dot loads (f_gtd_fused_ell) — no hoisted bdot pass, no
+    # per-trial bd plane stream (bdot_weight=0 below)
     def f_gtd(trial, d, bds):
-        return ell_ops.f_gtd_ell(trial, d, bds, planes, ell, Bsum,
-                                 l2_reg, w_mult, l2_in_f=l2_in_f)
+        del bds
+        return ell_ops.f_gtd_fused_ell(trial, d, planes, ell, Bsum,
+                                       l2_reg, w_mult, l2_in_f=l2_in_f)
 
     def bdot(d):
-        return ell_ops.bdot_ell(d, planes, ell)
+        return None
 
     def hvp_with(w2s):
         def hvp(V):
@@ -698,12 +737,12 @@ def _tncg_update_ell_jit(
     )
 
     # sweep-cost fractions for the achieved-bandwidth accounting: a full
-    # plane sweep streams k*itemsize + 4 (vals) bytes per slot; a projected
-    # trial adds the hoisted bd plane stream (4 B/slot)
+    # plane sweep streams k*itemsize + 4 (vals) bytes per slot; projected
+    # trials compute <B,d> in-register (no bd plane, no bdot pass)
     it = planes[0].dtype.itemsize if planes else A_perm.dtype.itemsize
     full_b = float(k * it + 4)
-    trial_frac = 1.0 + 4.0 / full_b
-    fgh_weight = 1.0 + 8.0 / full_b  # + w2 and px plane writes
+    trial_frac = 1.0
+    fgh_weight = 1.0 + 4.0 / full_b  # + the w2 plane write
 
     x_final, share, out = _tncg_core(
         x0, has_nnz, ell.n_rows, fgh, f_gtd, hvp_with, bdot,
@@ -712,6 +751,7 @@ def _tncg_update_ell_jit(
         true_row_mask=has_nnz,  # ELL slots with nnz are exactly the true rows
         active_mask=active_mask,
         ftol=ftol, trial_frac=trial_frac, fgh_weight=fgh_weight,
+        bdot_weight=0.0,
     )
     return x_final, share, _stats_dict(out)
 

@@ -345,6 +345,8 @@ def test_pallas_interpret_parity(rng, monkeypatch):
         rngd.uniform(0.1, 1.0, A_p.shape[0]).astype(np.float32)
     )
 
+    trial = jnp.maximum(A_p + 0.5 * D_p, 0.0)
+
     monkeypatch.setattr(ell_ops, "_PALLAS_MODE", "off")
     f0, g0, w20, d0, px0 = ell_ops.fgh_ell(A_p, planes, ell, Bsum, 1e2)
     h0 = ell_ops.hvp_ell(A_p, planes, ell, w20, 1e2)
@@ -355,6 +357,7 @@ def test_pallas_interpret_parity(rng, monkeypatch):
     alphas4 = jnp.stack([alpha * s for s in (1.0, 0.25, 0.0625, 0.015625)])
     fm0 = ell_ops.f_ray_multi_ell(alphas4, rcoef, px0, bd0, ell, 1e2)
     cf0, cg0, cpx0 = ell_ops.fg_ell(A_p, planes, ell, Bsum, 1e2)
+    tf0, tg0 = ell_ops.f_gtd_fused_ell(trial, D_p, planes, ell, Bsum, 1e2)
 
     monkeypatch.setattr(ell_ops, "_PALLAS_MODE", "interpret")
     f1, g1, w21, d1, px1 = ell_ops.fgh_ell(A_p, planes, ell, Bsum, 1e2)
@@ -363,6 +366,14 @@ def test_pallas_interpret_parity(rng, monkeypatch):
     fr1, gt1 = ell_ops.f_gtd_ray_ell(alpha, rcoef, px1, bd0, ell, 1e2)
     fm1 = ell_ops.f_ray_multi_ell(alphas4, rcoef, px1, bd0, ell, 1e2)
     cf1, cg1, cpx1 = ell_ops.fg_ell(A_p, planes, ell, Bsum, 1e2)
+    tf1, tg1 = ell_ops.f_gtd_fused_ell(trial, D_p, planes, ell, Bsum, 1e2)
+    # want_px=False drops only the prediction planes
+    fnp, gnp, w2np, dnp, pxnp = ell_ops.fgh_ell(A_p, planes, ell, Bsum,
+                                                1e2, want_px=False)
+    assert pxnp is None
+    np.testing.assert_allclose(fnp, f1, rtol=1e-6, atol=1e-3)
+    np.testing.assert_allclose(gnp, g1, rtol=1e-6, atol=1e-3)
+    np.testing.assert_allclose(dnp, d1, rtol=1e-6, atol=1e-3)
 
     np.testing.assert_allclose(f1, f0, rtol=1e-5, atol=1e-2)
     np.testing.assert_allclose(g1, g0, rtol=1e-5, atol=1e-2)
@@ -397,6 +408,13 @@ def test_pallas_interpret_parity(rng, monkeypatch):
     np.testing.assert_allclose(cg1, cg0, rtol=1e-5, atol=1e-2)
     for a, b in zip(cpx1, cpx0):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-4)
+    # TNCG's fused (f, g.d) trial evaluation (in-register <B,d>)
+    mt = np.isfinite(np.asarray(tf0))
+    np.testing.assert_array_equal(mt, np.isfinite(np.asarray(tf1)))
+    np.testing.assert_allclose(
+        np.asarray(tf1)[mt], np.asarray(tf0)[mt], rtol=1e-5, atol=1e-2
+    )
+    np.testing.assert_allclose(tg1, tg0, rtol=1e-4, atol=1e-1)
     # fused (non-ray) mode: want_px=False must skip the px output while
     # leaving (f, g) bit-identical to the px-producing call
     nf, ng, npx = ell_ops.fg_ell(A_p, planes, ell, Bsum, 1e2,
@@ -404,3 +422,32 @@ def test_pallas_interpret_parity(rng, monkeypatch):
     assert npx is None
     np.testing.assert_array_equal(np.asarray(nf), np.asarray(cf1))
     np.testing.assert_array_equal(np.asarray(ng), np.asarray(cg1))
+
+
+def test_f_gtd_fused_matches_hoisted(rng):
+    """f_gtd_fused_ell (in-register <B,d>) must equal f_gtd_ell fed the
+    hoisted bdot planes — same trial point, same direction."""
+    rows, cols, vals = synth_counts(rng, n_users=160, n_items=60,
+                                    density=0.1)
+    by_user, _, A, B = _setup(rows, cols, vals, 160, 60)
+    ell = ell_ops.ell_from_counts(by_user)
+    planes = ell_ops.gather_planes(B, ell)
+    A_p = ell_ops.permute_rows(A, ell.perm)
+    Bsum = obj.make_bsum(B, 60, 0.1)
+
+    r = np.random.default_rng(11)
+    D_p = jnp.asarray(r.standard_normal(A_p.shape).astype(np.float32) * 0.1)
+    trial = jnp.maximum(A_p + 0.7 * D_p, 0.0)
+
+    bds = ell_ops.bdot_ell(D_p, planes, ell)
+    for l2_in_f in (True, False):
+        f_h, gtd_h = ell_ops.f_gtd_ell(trial, D_p, bds, planes, ell,
+                                       Bsum, 1e2, l2_in_f=l2_in_f)
+        f_f, gtd_f = ell_ops.f_gtd_fused_ell(trial, D_p, planes, ell,
+                                             Bsum, 1e2, l2_in_f=l2_in_f)
+        fh, ff = np.asarray(f_h), np.asarray(f_f)
+        m = np.isfinite(fh)
+        np.testing.assert_array_equal(m, np.isfinite(ff))
+        np.testing.assert_allclose(ff[m], fh[m], rtol=1e-5, atol=1e-2)
+        np.testing.assert_allclose(np.asarray(gtd_f), np.asarray(gtd_h),
+                                   rtol=1e-4, atol=1e-1)
