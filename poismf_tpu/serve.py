@@ -117,28 +117,72 @@ def top_n(
     return fetch_host(idx)
 
 
-@functools.partial(jax.jit, static_argnames=("n_top",))
+@functools.partial(jax.jit, static_argnames=("n_top", "n_items"))
 def top_n_batched(
     A_query: jnp.ndarray,
     B: jnp.ndarray,
     n_top: int,
     exclude_mask: Optional[jnp.ndarray] = None,
+    n_items: Optional[int] = None,
 ):
     """Full-catalog top-N for a BATCH of user vectors: one [Q,k]x[k,n] MXU
     matmul + top_k.  ``exclude_mask`` is an optional [Q, n_items] bool mask
-    (True = forbidden).  This is the high-throughput serving path with no
-    per-user host round-trips.
+    (True = forbidden); ``n_items`` masks padded B rows in-kernel via an
+    iota compare (no [Q, n] mask tensor needed for the padding alone).
+    This is the high-throughput serving path with no per-user host
+    round-trips.
 
     Positions whose candidate pool is exhausted (every remaining item was
     masked) return the sentinel id ``-1`` with a ``-inf`` score, never a
     masked item's id — the batched analog of the reference's refusal when
     ``n_exclude > n - n_top`` (topN.c:127)."""
     scores = A_query @ B.T
+    masked = False
+    if n_items is not None and n_items < B.shape[0]:
+        cols = lax.broadcasted_iota(jnp.int32, (1, B.shape[0]), 1)
+        scores = jnp.where(cols >= n_items, NEG_INF, scores)
+        masked = True
     if exclude_mask is not None:
         scores = jnp.where(exclude_mask, NEG_INF, scores)
+        masked = True
     vals, idx = lax.top_k(scores, n_top)
-    if exclude_mask is not None:
+    if masked:
         idx = jnp.where(vals == NEG_INF, -1, idx)
+    return vals, idx
+
+
+@functools.partial(jax.jit, static_argnames=("n_top", "n_items"))
+def top_n_batched_excl(
+    A_query: jnp.ndarray,
+    B: jnp.ndarray,
+    excl_items: jnp.ndarray,  # [Q, L] int32 (padded per-user lists)
+    excl_valid: jnp.ndarray,  # [Q, L] bool
+    n_top: int,
+    n_items: Optional[int] = None,
+):
+    """``top_n_batched`` with per-user exclusion lists scattered to -inf ON
+    DEVICE — the scalable form of ``exclude_seen``: the host supplies only
+    the padded [Q, L] train-item lists (L = the batch's max list length),
+    never a [Q, n_items] mask (at the Last.FM catalog that mask is ~160 KB
+    PER USER).  Matches the reference's per-query C-side exclusion
+    (topN.c:155-169) at batch scale.  Exhausted candidate pools yield the
+    sentinel id ``-1`` exactly like ``top_n_batched``."""
+    Q = A_query.shape[0]
+    scores = A_query @ B.T  # [Q, n_rows_pad]
+    if n_items is not None and n_items < B.shape[0]:
+        cols = lax.broadcasted_iota(jnp.int32, (1, B.shape[0]), 1)
+        scores = jnp.where(cols >= n_items, NEG_INF, scores)
+    rows = lax.broadcasted_iota(jnp.int32, excl_items.shape, 0)
+    safe = jnp.where(excl_valid, excl_items, 0)
+    # scatter-min of -inf at the valid slots; invalid slots write +inf
+    # (a no-op for min) into column 0
+    upd = jnp.where(excl_valid, NEG_INF, jnp.inf).astype(scores.dtype)
+    scores = scores.at[rows.reshape(-1), safe.reshape(-1)].min(
+        upd.reshape(-1), mode="drop"
+    )
+    del Q
+    vals, idx = lax.top_k(scores, n_top)
+    idx = jnp.where(vals == NEG_INF, -1, idx)
     return vals, idx
 
 

@@ -375,3 +375,21 @@ def test_topn_batched_model_api(fitted):
         assert not (set(top_unseen[q].tolist()) & seen[u])
     with pytest.raises(ValueError):
         model.topN_batched(["not-a-user"], n=3)
+
+
+def test_topn_batched_exclude_seen_chunked(fitted, monkeypatch):
+    """exclude_seen rides device-side scatter from padded per-user lists,
+    chunked — results must not depend on the chunk size (incl. a padded
+    tail chunk)."""
+    model, df = fitted
+    users = df["UserId"].unique()[:7]
+    base, base_scores = model.topN_batched(users, n=4, exclude_seen=True,
+                                           output_score=True)
+    monkeypatch.setattr(type(model), "_EXCL_CHUNK", 3)  # 3+3+padded tail
+    chunked, ch_scores = model.topN_batched(users, n=4, exclude_seen=True,
+                                            output_score=True)
+    np.testing.assert_array_equal(chunked, base)
+    np.testing.assert_allclose(ch_scores, base_scores, rtol=1e-6)
+    seen = df.groupby("UserId")["ItemId"].agg(set)
+    for q, u in enumerate(users):
+        assert not (set(np.asarray(chunked[q]).tolist()) & seen[u])
