@@ -199,17 +199,23 @@ class FitParams:
     # sub-problem instead of paying full-batch passes (the batched stand-in
     # for the reference's per-row adaptive iteration counts)
     compact_tail: bool = True
-    # inner-CG iteration cap for tncg training rounds.  "auto" = 3 (the
-    # TPU-tuned default); None = the reference's maxCGit = clamp(k/2, 1,
-    # 50) (poismf.c:342).  The batched CG continues while ANY row is
-    # unconverged, so the reference cap binds nearly every outer iteration
-    # at scale (measured ~25 of ~30 passes/outer were inner-CG); a tight
-    # cap hands stragglers a more-truncated Newton direction — they simply
-    # stay active into later, 4-16x cheaper cascade rounds — and cut the
-    # flagship fit 55.3 -> 38.8 s at identical final LL/sparsity (the
-    # round-3 cap sweep: 25 -> 55.3 s, 8 -> 46.2, 5 -> 43.0, 3 -> 38.8,
-    # 2 -> 37.1, quality flat throughout).  Serving solves are not
-    # affected (they pass max_cg=None explicitly at their call sites).
+    # inner-CG iteration cap for tncg training rounds.  "auto" = 3 on the
+    # ELL layout with the cascade (whose FINAL rounds polish at full
+    # reference depth — the hybrid), None (= the reference's maxCGit =
+    # clamp(k/2, 1, 50), poismf.c:342) everywhere else: the quality
+    # argument for the tight cap needs the cascade's uncapped endpoint, so
+    # cascade-less paths (COO single-chip, COO sharded, compact_tail off)
+    # resolve "auto" to reference semantics.  An explicit integer cap is
+    # honored on every path as given.  Rationale for 3: the batched CG
+    # continues while ANY row is unconverged, so the reference cap binds
+    # nearly every outer iteration at scale (measured ~25 of ~30
+    # passes/outer were inner-CG); a tight cap hands stragglers a
+    # more-truncated Newton direction — they simply stay active into
+    # later, 4-16x cheaper cascade rounds — and cut the flagship fit
+    # 55.3 -> 38.8 s at identical final LL/sparsity (round-3 cap sweep:
+    # 25 -> 55.3 s, 8 -> 46.2, 5 -> 43.0, 3 -> 38.8, 2 -> 37.1, quality
+    # flat).  Serving solves pass max_cg=None explicitly at their call
+    # sites.
     max_cg: Optional[int] = "auto"  # type: ignore[assignment]
 
     def resolved(self) -> "FitParams":
@@ -228,11 +234,14 @@ class FitParams:
             p.niter = {"tncg": 10, "cg": 30, "pg": 10}[p.method]
         if p.max_cg == "auto":
             # the tuned cap relies on the cascade's FINAL uncapped round
-            # for endpoint polish; without the cascade (compact_tail off)
-            # a capped whole-solve would drift in ranking quality, so
-            # "auto" falls back to reference semantics there
+            # for endpoint polish; without the cascade (compact_tail off,
+            # or the COO layout which has no cascade at all — single-chip
+            # or sharded) a capped whole-solve would drift in ranking
+            # quality, so "auto" falls back to reference semantics there.
+            # An EXPLICIT integer cap is honored on every path as given.
             p.max_cg = (
-                3 if p.method == "tncg" and p.compact_tail else None
+                3 if (p.method == "tncg" and p.compact_tail
+                      and p.layout == "ell") else None
             )
         if p.max_cg is not None:
             p.max_cg = int(p.max_cg)
@@ -346,6 +355,9 @@ def _half_update(
             reuse_prev=p.reuse_prev,
             track_unchanged=early_stop,
             nnz_chunk=p.nnz_chunk,
+            # None under "auto" on this cascade-less path (resolved());
+            # an explicit user cap is honored here like everywhere else
+            max_cg=p.max_cg,
         )
         converged = (
             bool(fetch_host(share_unchanged) >= 0.95) if early_stop else False

@@ -176,3 +176,11 @@ def test_fitparams_max_cg_auto_resolution():
     assert p.max_cg == 7
     with pytest.raises(ValueError):
         FitParams(method="tncg", max_cg=0).resolved()
+    # "auto" resolves to the tuned cap ONLY where the cascade's final
+    # uncapped polish exists (ELL layout + compact_tail); cascade-less
+    # paths get reference semantics, explicit caps are honored everywhere
+    assert FitParams(method="tncg", layout="coo").resolved().max_cg is None
+    assert FitParams(method="tncg",
+                     compact_tail=False).resolved().max_cg is None
+    assert FitParams(method="tncg", layout="coo",
+                     max_cg=5).resolved().max_cg == 5
