@@ -741,6 +741,87 @@ def f_gtd_fused_ell(
                          l2_in_f)
 
 
+def f_gtd_multi_ell(
+    alphas,
+    X_perm,
+    D_perm,
+    planes: Sequence[Any],
+    ell: EllMatrix,
+    Bsum,
+    l2_reg: float,
+    w_mult: float = 1.0,
+    l2_in_f: bool = True,
+):
+    """COMPLETE (f, g(trial).d) at C projected-trial steps
+    ``max(0, x + alphas[c]*d)`` in ONE plane stream per bucket — the TNCG
+    line search's multi-candidate round (see
+    pallas_kernels.f_gtd_multi_bucket).  ``alphas`` [C, n_rows_ell] ->
+    (f [C, n_rows_ell], gtd [C, n_rows_ell]); linear/l2/Bsum terms folded
+    in-kernel on the primary buckets (extension buckets contribute data
+    terms only).  Same inf/nan poisoning as the single-trial kernels."""
+    import jax.numpy as jnp
+
+    C = alphas.shape[0]
+    k = X_perm.shape[1]
+    dtype = X_perm.dtype
+    mode = _pallas_state()
+    use_pk = (
+        mode is not None
+        and planes
+        and planes[0].dtype != jnp.float64
+        and dtype != jnp.float64
+    )
+    if use_pk:
+        from . import pallas_kernels as pk
+
+        fs, gs = [], []
+        for b, bg in zip(ell.buckets, planes):
+            X_T = _bucket_x(X_perm, b).T.astype(jnp.float32)
+            D_T = _bucket_x(D_perm, b).T.astype(jnp.float32)
+            al_b = _bucket_x(alphas.T, b).T.astype(jnp.float32)  # [C, R_b]
+            if Bsum.ndim == 1:
+                bsum_b = jnp.broadcast_to(
+                    Bsum.astype(jnp.float32)[:, None], X_T.shape
+                )
+            else:
+                bsum_b = _bucket_x(Bsum, b).T.astype(jnp.float32)
+            f_b, g_b = pk.f_gtd_multi_bucket(
+                bg, b.vals.astype(jnp.float32), X_T, D_T, al_b, bsum_b,
+                w_mult=float(w_mult), l2_reg=float(l2_reg),
+                l2_in_f=l2_in_f, fold_linear=b.src is None,
+                interpret=(mode == "interpret"),
+            )
+            fs.append(f_b)
+            gs.append(g_b)
+        f_out, g_out = [], []
+        for c in range(C):
+            f_out.append(_assemble(ell, [p[c] for p in fs], (), dtype))
+            g_out.append(_assemble(ell, [p[c] for p in gs], (), dtype))
+        return jnp.stack(f_out), jnp.stack(g_out)
+
+    # jnp fallback: per-candidate data terms + the shared combine tail —
+    # the independent reference the kernel parity tests compare against
+    from .objective import combine_f_gtd
+
+    f_out, g_out = [], []
+    for c in range(C):
+        trial = jnp.maximum(X_perm + alphas[c][:, None] * D_perm, 0.0)
+        nlls, guds = [], []
+        for b, bg in zip(ell.buckets, planes):
+            T_T = _bucket_x(trial, b).T
+            D_T = _bucket_x(D_perm, b).T
+            nll, gud = _bucket_data_f_gtd_fused(b, bg, T_T, D_T)
+            nlls.append(nll)
+            guds.append(gud)
+        nll = _assemble(ell, nlls, (), dtype)
+        gud = _assemble(ell, guds, (), dtype)
+        f_c, g_c = combine_f_gtd(nll, gud, trial, D_perm, Bsum, l2_reg,
+                                 w_mult, l2_in_f)
+        f_out.append(f_c)
+        g_out.append(g_c)
+    return jnp.stack(f_out), jnp.stack(g_out)
+
+
 def _bucket_data_ray(b: EllBucket, px, pd, a_b):
     """One bucket's ray-trial data terms from cached prediction planes:
     ``pred_t = px + alpha * pd`` (exact while the step stays within the

@@ -442,6 +442,127 @@ def f_gtd_fused_bucket(bg, vals, a_t, d_t, interpret: bool = False):
 
 
 # ---------------------------------------------------------------------------
+# multi-candidate projected-trial evaluation: COMPLETE (f, g.d) at C steps
+# along the PROJECTED ray max(0, x + a_c * d) in ONE bg/vals stream.  The
+# TNCG line search's whole-batch round count is its dominant cost (the
+# max-over-rows bracketing tail runs to MAX_LS nearly every outer
+# iteration); evaluating C candidates per round costs the same plane
+# bandwidth as one trial — the extra work is C-1 more dot/log chains on
+# data already in registers, and the kernels are not flop-bound (f and fgh
+# measure the same GB/s at 3x different arithmetic).  Unlike the CG ray
+# kernels the trials here are PROJECTED (max(0,.) zeroes many coordinates
+# per accepted step), so predictions are NOT linear in alpha and each
+# candidate needs its own k-deep dot.  The linear/l2/Bsum terms are folded
+# in ON THE pj==0 BLOCK (once per row tile), so the output is the finished
+# (f, gtd) pair and the solver does NO per-candidate [R, k] work.
+# ---------------------------------------------------------------------------
+
+
+def _f_gtd_multi_kernel(C, w_mult, l2_reg, l2_in_f, fold_linear,
+                        bg_ref, vals_ref, xt_ref, dt_ref, al_ref, bsum_ref,
+                        f_ref, gtd_ref):
+    pj = pl.program_id(1)
+    bg = _f32(bg_ref[...])  # [k, TP, TR]
+    x = xt_ref[...]  # [k, TR]
+    d = dt_ref[...]  # [k, TR]
+    vals = vals_ref[...]  # [TP, TR]
+    al = al_ref[...]  # [C, TR]
+    valid = vals > 0
+    bd = jnp.sum(bg * d[:, None, :], axis=0)  # [TP, TR]
+
+    @pl.when(pj == 0)
+    def _():
+        # fold_linear=False (long-row EXTENSION buckets, whose data terms
+        # are scatter-ADDED into their primary rows): init only, so the
+        # linear terms enter exactly once via the primary bucket
+        if not fold_linear:
+            f_ref[...] = jnp.zeros_like(f_ref)
+            gtd_ref[...] = jnp.zeros_like(gtd_ref)
+            return
+        bsum = bsum_ref[...]  # [k, TR] ([k] broadcast or per-row 2D)
+        lin_d = jnp.sum(d * bsum, axis=0)  # [TR]
+        f0, g0 = [], []
+        for c in range(C):
+            trial = jnp.maximum(x + al[c][None, :] * d, 0.0)  # [k, TR]
+            lin = jnp.sum(trial * bsum, axis=0)
+            if l2_in_f:
+                lin = lin + l2_reg * jnp.sum(trial * trial, axis=0)
+            f0.append(lin)
+            g0.append(lin_d + 2.0 * l2_reg * jnp.sum(trial * d, axis=0))
+        f_ref[...] = jnp.stack(f0)
+        gtd_ref[...] = jnp.stack(g0)
+
+    facc, gacc = [], []
+    for c in range(C):
+        trial = jnp.maximum(x + al[c][None, :] * d, 0.0)
+        pred = jnp.sum(bg * trial[:, None, :], axis=0)  # [TP, TR]
+        # unfloored log: non-positive predictions poison f with inf/nan
+        # exactly like the single-trial kernels (nonnegcg.c:223-226)
+        logt = jnp.where(valid, vals * jnp.log(pred), 0.0)
+        facc.append(-w_mult * jnp.sum(logt, axis=0))
+        ratio = jnp.where(
+            valid, vals * bd / jnp.maximum(pred, PRED_EPS), 0.0
+        )
+        gacc.append(-w_mult * jnp.sum(ratio, axis=0))
+    f_ref[...] += jnp.stack(facc)
+    gtd_ref[...] += jnp.stack(gacc)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("w_mult", "l2_reg", "l2_in_f", "fold_linear",
+                     "interpret"),
+)
+def f_gtd_multi_bucket(bg, vals, x_t, d_t, alphas, bsum_t,
+                       w_mult: float, l2_reg: float, l2_in_f: bool,
+                       fold_linear: bool = True, interpret: bool = False):
+    """COMPLETE (f, g(trial).d) at C projected-trial steps for one bucket.
+
+    bg [k, P, R], vals [P, R] f32, x_t/d_t [k, R] f32, alphas [C, R] f32,
+    bsum_t [k, R] f32 (a 1D Bsum pre-broadcast by the caller) ->
+    (f [C, R], gtd [C, R]) with the linear + l2 + Bsum terms already folded
+    in (computed once per row tile on the pj==0 block).
+    ``fold_linear=False`` emits data terms only (long-row extension
+    buckets, which scatter-add into their primary rows).
+    """
+    C = alphas.shape[0]
+    k, P, Rb = bg.shape
+    tp, tr = _tiles(P, Rb, k, bg.dtype.itemsize)
+    grid = (Rb // tr, P // tp)
+    f, gtd = pl.pallas_call(
+        functools.partial(_f_gtd_multi_kernel, C, w_mult, l2_reg, l2_in_f,
+                          fold_linear),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((k, tp, tr), lambda ri, pj: (0, pj, ri),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tp, tr), lambda ri, pj: (pj, ri),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, tr), lambda ri, pj: (0, ri),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, tr), lambda ri, pj: (0, ri),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, tr), lambda ri, pj: (0, ri),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, tr), lambda ri, pj: (0, ri),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((C, tr), lambda ri, pj: (0, ri),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, tr), lambda ri, pj: (0, ri),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((C, Rb), jnp.float32),
+            jax.ShapeDtypeStruct((C, Rb), jnp.float32),
+        ],
+        interpret=interpret,
+    )(bg, vals, x_t, d_t, alphas, bsum_t)
+    return f, gtd
+
+
+# ---------------------------------------------------------------------------
 # ray line-search trial: f + directional derivative WITHOUT a plane read.
 # The prediction is linear in the factor vector, so with the step capped at
 # the first bound crossing (the reference's stepMax/getptc xbnd contract,

@@ -111,6 +111,20 @@ def main():
         nll, gud = pk.f_gtd_bucket(bg, vals, a, bd)
         return mix(a, (nll + gud)[None, :])
 
+    def step_f_gtd_fused(ops, a):
+        bg, vals = ops
+        nll, gud = pk.f_gtd_fused_bucket(bg, vals, a, a * 0.01)
+        return mix(a, (nll + gud)[None, :])
+
+    def step_f_gtd_multi(ops, a):
+        bg, vals, bsum = ops
+        alphas = jnp.abs(a[:4]) * jnp.asarray([[0.1], [0.2], [0.4], [0.8]])
+        f, gtd = pk.f_gtd_multi_bucket(
+            bg, vals, a, a * 0.01, alphas, bsum,
+            w_mult=1.0, l2_reg=1e3, l2_in_f=False,
+        )
+        return mix(a, jnp.sum(f + gtd, axis=0)[None, :])
+
     def step_fg(ops, a):
         bg, vals = ops
         nll, g, px = pk.fg_bucket(bg, vals, a)
@@ -153,10 +167,15 @@ def main():
             # output mixes
             slots = P * Rb
             bg_b = bg.size * bg.dtype.itemsize
+            bsum_t = jnp.abs(a0) + 0.5  # [k, Rb] stand-in for the bsum block
             for name, fn, ops, gb in [
                 ("f", step_f, (bg, vals), (bg_b + 4 * slots) / 1e9),
                 ("f_gtd", step_f_gtd, (bg, vals, bd),
                  (bg_b + 8 * slots) / 1e9),
+                ("gtdF", step_f_gtd_fused, (bg, vals),
+                 (bg_b + 4 * slots) / 1e9),
+                ("gtdM4", step_f_gtd_multi, (bg, vals, bsum_t),
+                 (bg_b + 4 * slots) / 1e9),
                 ("fg", step_fg, (bg, vals), (bg_b + 8 * slots) / 1e9),
                 ("fgh", step_fgh, (bg, vals), (bg_b + 12 * slots) / 1e9),
                 ("hvp", step_hvp, (bg, bd), (bg_b + 4 * slots) / 1e9),

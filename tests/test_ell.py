@@ -415,6 +415,42 @@ def test_pallas_interpret_parity(rng, monkeypatch):
         np.asarray(tf1)[mt], np.asarray(tf0)[mt], rtol=1e-5, atol=1e-2
     )
     np.testing.assert_allclose(tg1, tg0, rtol=1e-4, atol=1e-1)
+    # TNCG's multi-candidate projected-trial evaluation: interpret kernel
+    # (linear terms folded in-kernel) vs the jnp combine_f_gtd fallback,
+    # both l2_in_f parities.  Comparison scoped to TRUE rows: global pad
+    # rows (nnz=0, covered by no bucket) get zeros from the kernel path
+    # and combine junk from the [R,k] fallback — the solver never reads
+    # either (they are never active).
+    true_rows = np.asarray(ell.row_nnz_perm) > 0
+    alphasP = jnp.stack([alpha * s for s in (0.5, 1.0, 2.0, 8.0)])
+    for l2f in (True, False):
+        monkeypatch.setattr(ell_ops, "_PALLAS_MODE", "off")
+        mf0, mg0 = ell_ops.f_gtd_multi_ell(alphasP, A_p, D_p, planes, ell,
+                                           Bsum, 1e2, l2_in_f=l2f)
+        monkeypatch.setattr(ell_ops, "_PALLAS_MODE", "interpret")
+        mf1, mg1 = ell_ops.f_gtd_multi_ell(alphasP, A_p, D_p, planes, ell,
+                                           Bsum, 1e2, l2_in_f=l2f)
+        mf0t = np.asarray(mf0)[:, true_rows]
+        mf1t = np.asarray(mf1)[:, true_rows]
+        mmk = np.isfinite(mf0t)
+        np.testing.assert_array_equal(mmk, np.isfinite(mf1t))
+        np.testing.assert_allclose(mf1t[mmk], mf0t[mmk],
+                                   rtol=1e-5, atol=1e-2)
+        np.testing.assert_allclose(np.asarray(mg1)[:, true_rows],
+                                   np.asarray(mg0)[:, true_rows],
+                                   rtol=1e-4, atol=1e-1)
+    # and against the single-trial fused evaluation at matching alphas
+    # (same l2_in_f=False as the loop's final iteration)
+    trial2 = jnp.maximum(A_p + alphasP[1][:, None] * D_p, 0.0)
+    sf, sg = ell_ops.f_gtd_fused_ell(trial2, D_p, planes, ell, Bsum, 1e2,
+                                     l2_in_f=False)
+    m1 = mmk[1]
+    np.testing.assert_allclose(
+        mf1t[1][m1], np.asarray(sf)[true_rows][m1], rtol=1e-5, atol=1e-2
+    )
+    np.testing.assert_allclose(np.asarray(mg1)[1][true_rows],
+                               np.asarray(sg)[true_rows],
+                               rtol=1e-4, atol=1e-1)
     # fused (non-ray) mode: want_px=False must skip the px output while
     # leaving (f, g) bit-identical to the px-producing call
     nf, ng, npx = ell_ops.fg_ell(A_p, planes, ell, Bsum, 1e2,
