@@ -422,11 +422,15 @@ def _tncg_core(
                         found=t["found"] | accept,
                         x_new=x_new, f_new=f_new, x_best=x_best,
                         f_best=f_best, searching=searching,
+                        # dtype-pinned sums: under a jax_enable_x64 scope a
+                        # plain int32 sum promotes to int64 (NumPy
+                        # semantics) and the scatter into the int32 debug
+                        # arrays would warn (error in future jax)
                         dbg_search=t["dbg_search"].at[t["t"]].set(
-                            jnp.sum(t["searching"].astype(jnp.int32))),
+                            jnp.sum(t["searching"], dtype=jnp.int32)),
                         dbg_brack=t["dbg_brack"].at[t["t"]].set(jnp.sum(
-                            (t["searching"] & jnp.isfinite(t["hi"]))
-                            .astype(jnp.int32))),
+                            t["searching"] & jnp.isfinite(t["hi"]),
+                            dtype=jnp.int32)),
                         nfeval=nfe, t=t["t"] + 1)
 
         ls = lax.while_loop(ls_cond, ls_body, ls0)
