@@ -787,7 +787,8 @@ def f_gtd_multi_ell(
                 bsum_b = _bucket_x(Bsum, b).T.astype(jnp.float32)
             f_b, g_b = pk.f_gtd_multi_bucket(
                 bg, b.vals.astype(jnp.float32), X_T, D_T, al_b, bsum_b,
-                w_mult=float(w_mult), l2_reg=float(l2_reg),
+                jnp.asarray(l2_reg, dtype=jnp.float32),
+                w_mult=float(w_mult),
                 l2_in_f=l2_in_f, fold_linear=b.src is None,
                 interpret=(mode == "interpret"),
             )

@@ -326,6 +326,85 @@ def poisson_f_gtd(
                          l2_in_f)
 
 
+def poisson_f_gtd_multi(
+    alphas: jnp.ndarray,
+    x: jnp.ndarray,
+    D: jnp.ndarray,
+    bd: jnp.ndarray,
+    B: jnp.ndarray,
+    X: CountsMatrix,
+    Bsum: jnp.ndarray,
+    l2_reg: float,
+    w_mult: float = 1.0,
+    nnz_chunk: Optional[int] = None,
+    l2_in_f: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """COMPLETE (f, g(trial).d) at C PROJECTED trial steps
+    ``max(0, x + alphas[c]*d)`` in one pass over the nnz stream — the
+    flat-COO analog of :func:`poismf_tpu.ops.ell.f_gtd_multi_ell` (the
+    TNCG line search's multi-candidate round).  The x/D/B row gathers
+    (the dominant traffic, ~3k floats per edge) are shared across the C
+    candidates; each candidate adds only its own in-register dot/log
+    chain.  ``alphas`` [C, R_pad] -> (f [C, R_pad], gtd [C, R_pad]).
+    Unlike the CG ray trials the projection makes predictions NONLINEAR
+    in alpha, so each candidate needs its own k-deep dot; ``bd`` (the
+    per-edge <B, d> from :func:`poisson_bdot`, candidate-independent) is
+    hoisted once per line search exactly like :func:`poisson_f_gtd`.
+    Same +inf poisoning on non-positive trial predictions."""
+    R = X.n_rows_pad
+    C = alphas.shape[0]
+    dtype = x.dtype
+
+    def eval_chunk(row_ids, col_ids, vals, bd_c):
+        safe_rows = jnp.minimum(row_ids, R - 1)
+        Xg = jnp.take(x, safe_rows, axis=0)  # [nnz, k]
+        Dg = jnp.take(D, safe_rows, axis=0)
+        Bg = jnp.take(B, col_ids, axis=0)
+        nlls, guds = [], []
+        for c in range(C):
+            a_e = jnp.take(alphas[c], safe_rows)
+            trial_e = jnp.maximum(Xg + a_e[:, None] * Dg, 0.0)
+            pred = jnp.sum(trial_e * Bg, axis=1)
+            log_term = jnp.where(vals > 0, vals * jnp.log(pred), 0.0)
+            nlls.append(-segment_rowsum(log_term, row_ids, R))
+            ratio = jnp.where(
+                vals > 0, vals * bd_c / jnp.maximum(pred, PRED_EPS), 0.0
+            )
+            guds.append(segment_rowsum(ratio, row_ids, R))
+        return jnp.stack(nlls), jnp.stack(guds)
+
+    chunk = _maybe_chunk(X.nnz_pad, nnz_chunk)
+    if chunk is None:
+        nll, gud = eval_chunk(X.row_ids, X.col_ids, X.vals, bd)
+    else:
+        n_chunks = X.nnz_pad // chunk
+
+        def body(carry, xs):
+            r, c, v, b_ = xs
+            nl, gd = eval_chunk(r, c, v, b_)
+            return (carry[0] + nl, carry[1] + gd), None
+
+        (nll, gud), _ = lax.scan(
+            body,
+            (jnp.zeros((C, R), dtype), jnp.zeros((C, R), dtype)),
+            (
+                X.row_ids.reshape(n_chunks, chunk),
+                X.col_ids.reshape(n_chunks, chunk),
+                X.vals.reshape(n_chunks, chunk),
+                bd.reshape(n_chunks, chunk),
+            ),
+        )
+
+    fs, gs = [], []
+    for c in range(C):
+        trial = jnp.maximum(x + alphas[c][:, None] * D, 0.0)
+        f_c, g_c = combine_f_gtd(nll[c], gud[c], trial, D, Bsum, l2_reg,
+                                 w_mult, l2_in_f)
+        fs.append(f_c)
+        gs.append(g_c)
+    return jnp.stack(fs), jnp.stack(gs)
+
+
 def poisson_f_gtd_ray(
     alpha: jnp.ndarray,
     coef,

@@ -458,10 +458,15 @@ def f_gtd_fused_bucket(bg, vals, a_t, d_t, interpret: bool = False):
 # ---------------------------------------------------------------------------
 
 
-def _f_gtd_multi_kernel(C, w_mult, l2_reg, l2_in_f, fold_linear,
-                        bg_ref, vals_ref, xt_ref, dt_ref, al_ref, bsum_ref,
-                        f_ref, gtd_ref):
+def _f_gtd_multi_kernel(C, w_mult, l2_in_f, fold_linear,
+                        l2_ref, bg_ref, vals_ref, xt_ref, dt_ref, al_ref,
+                        bsum_ref, f_ref, gtd_ref):
     pj = pl.program_id(1)
+    # l2_reg rides in as a traced SMEM scalar (NOT a static kernel
+    # constant): the enclosing solver jits trace it, and baking it in
+    # would both crash on the tracer and recompile per l2 value (the
+    # serving paths solve with caller-chosen regularization)
+    l2_reg = l2_ref[0]
     bg = _f32(bg_ref[...])  # [k, TP, TR]
     x = xt_ref[...]  # [k, TR]
     d = dt_ref[...]  # [k, TR]
@@ -510,16 +515,16 @@ def _f_gtd_multi_kernel(C, w_mult, l2_reg, l2_in_f, fold_linear,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("w_mult", "l2_reg", "l2_in_f", "fold_linear",
-                     "interpret"),
+    static_argnames=("w_mult", "l2_in_f", "fold_linear", "interpret"),
 )
-def f_gtd_multi_bucket(bg, vals, x_t, d_t, alphas, bsum_t,
-                       w_mult: float, l2_reg: float, l2_in_f: bool,
+def f_gtd_multi_bucket(bg, vals, x_t, d_t, alphas, bsum_t, l2_reg,
+                       w_mult: float, l2_in_f: bool,
                        fold_linear: bool = True, interpret: bool = False):
     """COMPLETE (f, g(trial).d) at C projected-trial steps for one bucket.
 
     bg [k, P, R], vals [P, R] f32, x_t/d_t [k, R] f32, alphas [C, R] f32,
-    bsum_t [k, R] f32 (a 1D Bsum pre-broadcast by the caller) ->
+    bsum_t [k, R] f32 (a 1D Bsum pre-broadcast by the caller),
+    l2_reg a traced f32 scalar ->
     (f [C, R], gtd [C, R]) with the linear + l2 + Bsum terms already folded
     in (computed once per row tile on the pj==0 block).
     ``fold_linear=False`` emits data terms only (long-row extension
@@ -529,11 +534,13 @@ def f_gtd_multi_bucket(bg, vals, x_t, d_t, alphas, bsum_t,
     k, P, Rb = bg.shape
     tp, tr = _tiles(P, Rb, k, bg.dtype.itemsize)
     grid = (Rb // tr, P // tp)
+    l2_s = jnp.asarray(l2_reg, dtype=jnp.float32).reshape(1)
     f, gtd = pl.pallas_call(
-        functools.partial(_f_gtd_multi_kernel, C, w_mult, l2_reg, l2_in_f,
+        functools.partial(_f_gtd_multi_kernel, C, w_mult, l2_in_f,
                           fold_linear),
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((k, tp, tr), lambda ri, pj: (0, pj, ri),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tp, tr), lambda ri, pj: (pj, ri),
@@ -558,7 +565,7 @@ def f_gtd_multi_bucket(bg, vals, x_t, d_t, alphas, bsum_t,
             jax.ShapeDtypeStruct((C, Rb), jnp.float32),
         ],
         interpret=interpret,
-    )(bg, vals, x_t, d_t, alphas, bsum_t)
+    )(l2_s, bg, vals, x_t, d_t, alphas, bsum_t)
     return f, gtd
 
 

@@ -22,8 +22,11 @@ fixed-shape equivalent:
                                             stops when every row converged
   2-step SSBFGS diagonal preconditioner   exact Hessian diagonal (Jacobi)
     (msolve :1444-1528)                     2*l2 + sum_i w2_i B_ik^2
-  Gill-Murray cubic line search           projected-Armijo backtracking
-    (linearSearch :1664-1813)               x(a) = max(0, x + a*d)
+  Gill-Murray cubic line search           batched Wolfe search on projected
+    (linearSearch :1664-1813)               trials x(a) = max(0, x + a*d),
+                                            safeguarded-cubic interpolation,
+                                            LS_CAND candidates per round in
+                                            one data sweep
   convergence |df|<=ftol, |dx|<=xtol,     same tests, batched per row
     |pg|<=pgtol (:699-712, 909-929)
   maxnfeval budget (= maxupd)             same accounting: +1 per f/g eval,
@@ -65,7 +68,21 @@ TNC_FTOL = 1e-4  # explicit at poismf.c:388
 TNC_ETA = 0.25  # CG forcing / line-search eta
 LS_RMU = 1e-4  # sufficient-decrease mu (tnc.c linearSearch:1734 rmu)
 LS_EXTRAP = 4.0  # bracket growth factor while no upper bound found
-MAX_LS = 16
+MAX_LS = 16  # per-row trial budget cap (evaluations, not rounds)
+# line-search candidates per whole-batch round (POISMF_TNCG_LS_CAND):
+# each round evaluates LS_CAND projected trials in ONE plane stream
+# (f_gtd_multi kernels; ~1.4x a single trial's wall for 4 candidates),
+# so the max-over-rows round count — the LS tail's dominant cost —
+# shrinks ~LS_CAND-fold in the bracketing phase.  1 = the sequential
+# single-trial search (one cubic/extrapolation step per round).
+LS_CAND_DEFAULT = 4
+
+import os as _os
+
+
+def _ls_cand_default() -> int:
+    # read per call, not at import: harnesses set the env var after import
+    return int(_os.environ.get("POISMF_TNCG_LS_CAND", str(LS_CAND_DEFAULT)))
 # NOTE on capping the per-row LS trial budget: tried and REJECTED.  Some
 # rows grind the bracket for 10+ rounds because the replicated reference
 # inconsistency (l2-less f, l2-full gradient — see objective.poisson_fgh)
@@ -89,7 +106,8 @@ def _tncg_core(
     has_nnz: jnp.ndarray,
     n_rows: int,
     fgh: Callable,  # x -> (f [R], g [R,k], w2 (opaque), diag [R,k], px)
-    f_gtd: Callable,  # (trial, d, bd) -> (f [R], g(trial).d [R])
+    f_gtd_multi: Callable,  # (alphas [C,R], x, d, bd) ->
+    # (f [C,R], g(trial).d [C,R]) at C projected trials, one data sweep
     hvp_with: Callable,  # (w2, fixed_mask) -> (V -> HV)
     bdot: Callable,  # d -> hoisted <B, d> factors, or None (fused f_gtd)
     *,
@@ -100,10 +118,11 @@ def _tncg_core(
     true_row_mask: Optional[jnp.ndarray] = None,
     active_mask: Optional[jnp.ndarray] = None,
     ftol: float = TNC_FTOL,
-    trial_frac: float = 1.0,  # sweep-fraction cost of one LS trial
+    trial_frac: float = 1.0,  # sweep-fraction cost of one LS trial round
     fgh_weight: float = 1.0,  # sweep cost of one fgh eval (aux plane writes)
     bdot_weight: float = 1.0,  # sweep cost of the hoisted <B,d> pass (0 when
     # the backend's f_gtd computes <B,d> in-register from the same block)
+    ls_cand: int = LS_CAND_DEFAULT,  # projected trials per LS round
 ):
     """Backend-agnostic batched truncated-Newton driver (see module doc).
 
@@ -112,11 +131,18 @@ def _tncg_core(
     program; the unchanged-rows share is always computed (its cost is one
     [R, k] diff pass, invisible next to the solve).
 
-    The line search evaluates PROJECTED trials ``max(0, x + alpha*d)`` with
-    a full data sweep each (``f_gtd``; the ``<B,d>`` factors either come
-    from a hoisted ``bdot`` pass or — on the ELL backend — are computed
-    in-register from the same plane block, ``bdot_weight=0``).  A
-    ray-based variant — trials
+    The line search evaluates PROJECTED trials ``max(0, x + alpha*d)``,
+    ``ls_cand`` candidates per whole-batch round in ONE data sweep
+    (``f_gtd_multi``; the ``<B,d>`` factors either come from a hoisted
+    ``bdot`` pass or — on the ELL backend — are computed in-register from
+    the same plane block, ``bdot_weight=0``).  Rounds are max-over-rows,
+    so packing candidates into one stream is the lever on the LS tail:
+    unbracketed rows probe the extrapolation ladder alpha*EXTRAP^{0..C-1},
+    bracketed rows probe the safeguarded-cubic point plus even bracket
+    subdivisions, and the per-row fold processes candidates in ascending
+    order with exactly the sequential search's classification (Wolfe
+    accept / too-far shrinks hi / too-short raises lo), so ls_cand=1
+    reproduces the sequential cubic search.  A ray-based variant — trials
     capped at the first bound crossing so f comes from cached prediction
     planes at ~1/9 sweep each — was tried and REVERTED: capping at the
     nearest bound admits only ONE newly-zeroed coordinate per outer
@@ -294,6 +320,22 @@ def _tncg_core(
         a0 = jnp.where(jnp.isfinite(a0) & (a0 > 0.0), a0, 1.0)
         bd = bdot(d)
 
+        C = int(ls_cand)
+        # whole-batch LS round cap: MAX_LS rounds regardless of C — the
+        # budget unit is the ROUND (nfe counts 1 per round, matching the
+        # sequential search's per-trial accounting in rounds), and the
+        # while_loop exits as soon as no row searches, so a generous cap
+        # costs nothing for the common fast-accept case.  A tight cap
+        # (ceil(MAX_LS/C)) was tried and REJECTED: rows that grind the
+        # bracket (the l2-less-f/l2-full-g inconsistency parks their
+        # Wolfe band on a slope asymptote) fell to scattered best-decrease
+        # points, the two layouts drifted 4.7% apart in final LL on the
+        # 150x60 parity fit, and the endpoint got ulp-sensitive; at the
+        # full cap the layouts agree to 0.13% and C=4 still uses 1.8x
+        # fewer rounds than C=1 (44 vs 80 on that fit) because most rows
+        # accept within 1-2 folded rounds.
+        max_ls_rounds = MAX_LS
+
         ls0 = dict(
             alpha=a0.astype(dtype),
             lo=jnp.zeros((R,), dtype=dtype),
@@ -306,9 +348,15 @@ def _tncg_core(
             f_hi=jnp.full((R,), jnp.inf, dtype=dtype),
             g_hi=jnp.zeros((R,), dtype=dtype),
             found=jnp.zeros((R,), dtype=bool),
-            x_new=x,
+            # accepted / best-decrease STEPS, not points: every trial is
+            # determined by its alpha, so the [R, k] points are
+            # reconstructed once after the loop (getptc keeps the lowest
+            # f seen as its fmin; if the bracket collapses without a
+            # Wolfe point, that best point is returned as long as it
+            # decreased f, tnc.c:1785-1789)
+            a_new=jnp.zeros((R,), dtype=dtype),
             f_new=f,
-            x_best=x,
+            a_best=jnp.zeros((R,), dtype=dtype),
             f_best=f,
             searching=active,
             nfeval=nfeval,
@@ -321,59 +369,29 @@ def _tncg_core(
         )
 
         def ls_cond(t):
-            return (t["t"] < MAX_LS) & jnp.any(t["searching"])
+            return (t["t"] < max_ls_rounds) & jnp.any(t["searching"])
 
         def ls_body(t):
-            alpha = t["alpha"]
-            trial = jnp.maximum(x + alpha[:, None] * d, 0.0)
-            f_t, gu = f_gtd(trial, d, bd)
-            suff = jnp.isfinite(f_t) & (f_t <= f + LS_RMU * alpha * dginit)
-            # strong-Wolfe curvature: |g(trial).d| <= eta |g(x).d| - the
-            # trial brackets getptc's 1-D stationary point rather than
-            # accepting arbitrary overshoot
-            curv_lo = gu >= TNC_ETA * dginit  # not still steeply descending
-            curv_hi = gu <= -TNC_ETA * dginit  # not past the minimum
-            ok = suff & curv_lo & curv_hi
-            accept = t["searching"] & ok
-            x_new = jnp.where(accept[:, None], trial, t["x_new"])
-            f_new = jnp.where(accept, f_t, t["f_new"])
-            # getptc keeps the lowest f seen (its fmin); if the bracket
-            # collapses without a Wolfe point, that best point is returned
-            # as long as it decreased f (tnc.c:1785-1789 via getptc's fmin)
-            better = t["searching"] & jnp.isfinite(f_t) & (f_t < t["f_best"])
-            x_best = jnp.where(better[:, None], trial, t["x_best"])
-            f_best = jnp.where(better, f_t, t["f_best"])
-            nfe = t["nfeval"] + t["searching"].astype(jnp.int32)
-            searching = t["searching"] & ~ok & (nfe < maxupd)
-            # bracket: no sufficient decrease or overshot the stationary
-            # point -> too far (shrink); decrease but derivative still
-            # steep -> too short (grow / bisect up)
-            to_hi = searching & (~suff | ~curv_hi)
-            to_lo = searching & suff & ~curv_lo & curv_hi
-            hi = jnp.where(to_hi, alpha, t["hi"])
-            lo = jnp.where(to_lo, alpha, t["lo"])
-            f_hi = jnp.where(to_hi, f_t, t["f_hi"])
-            g_hi = jnp.where(to_hi, gu, t["g_hi"])
-            f_lo = jnp.where(to_lo, f_t, t["f_lo"])
-            g_lo = jnp.where(to_lo, gu, t["g_lo"])
+            lo, hi = t["lo"], t["hi"]
+            f_lo, g_lo = t["f_lo"], t["g_lo"]
+            f_hi, g_hi = t["f_hi"], t["g_hi"]
             has_hi = jnp.isfinite(hi)
-            # Bracketed rows take a SAFEGUARDED CUBIC step — the Hermite
+            span = hi - lo
+            # --- candidate construction ---
+            # Bracketed rows: a SAFEGUARDED CUBIC step — the Hermite
             # minimizer through (lo, f_lo, g_lo), (hi, f_hi, g_hi), the
             # same family as getptc's interpolation (tnc.c:1890-2154) —
-            # clipped away from the bracket ends; rows whose cubic is
-            # undefined (poisoned f_hi from an inf trial, negative
-            # radicand, degenerate denominator) bisect instead.
-            # A bisection-only search was tried at the end of round 3 and
-            # REVERTED: it was never TPU-verified, and on the small-scale
-            # layout-parity fit (150x60, niter=4, maxupd=100) it lands an
-            # 18% worse objective (-5873/-6078 vs -4961 for both layouts
-            # with the cubic) and pushes the two layouts 3.5% apart —
-            # bisection converges the bracket linearly, so rows burn their
-            # maxupd nfeval budget on mediocre points and terminate early.
-            # The cubic costs ~25-40% more wall at 25% scale (20.2 s vs
-            # 14.6 s measured in the same tunnel window) and buys ~1%
-            # better final LL at full scale plus layout-exact dynamics.
-            span = hi - lo
+            # clipped away from the bracket ends (0.1 safeguard: >= 10%
+            # shrink even when the cubic stalls), bisection when the
+            # cubic is undefined (poisoned f_hi from an inf trial,
+            # negative radicand, degenerate denominator); plus C-1 even
+            # bracket subdivisions, so the folded bracket shrinks >= C-fold
+            # per round.  A bisection-only search was tried at the end of
+            # round 3 and REVERTED: on the small-scale layout-parity fit
+            # (150x60, niter=4, maxupd=100) it lands an 18% worse
+            # objective (-5873/-6078 vs -4961 for both layouts with the
+            # cubic) — linear bracket convergence burns the maxupd
+            # budget on mediocre points.
             d1 = g_lo + g_hi + 3.0 * (f_lo - f_hi) / jnp.maximum(
                 span, 1e-30
             )
@@ -390,37 +408,135 @@ def _tncg_core(
             )
             a_brack = jnp.where(
                 cubic_ok,
-                # 0.1 safeguard (getptc's factor): guarantees >= 10%
-                # bracket shrink per round even when the cubic stalls
                 jnp.clip(a_cubic, lo + 0.1 * span, hi - 0.1 * span),
                 0.5 * (lo + hi),
             )
+            if C == 1:
+                cands_brack = a_brack[None]
+                cands_ladder = t["alpha"][None]
+            else:
+                # processing order: the SEQUENTIAL search's own candidate
+                # first (the safeguarded cubic), then even subdivisions in
+                # ascending order — acceptance is first-ok in this order,
+                # so a round where the cubic satisfies Wolfe accepts the
+                # exact point the sequential search would have
+                cands_brack = jnp.stack(
+                    [a_brack]
+                    + [lo + span * ((j + 1.0) / C) for j in range(C - 1)]
+                )
+                # unbracketed rows probe the extrapolation ladder: the
+                # projected trial max(0, .) keeps any alpha feasible, so
+                # growth past the first bound crossing is exactly how one
+                # step zeroes many coordinates
+                cands_ladder = jnp.stack(
+                    [t["alpha"] * (LS_EXTRAP ** j) for j in range(C)]
+                )
+            cands = jnp.where(has_hi[None, :], cands_brack, cands_ladder)
+
+            f_c, gu_c = f_gtd_multi(cands, x, d, bd)
+
+            # --- per-row fold, candidates in processing order ---
+            # Exactly the sequential search's classification per
+            # candidate: Wolfe accept (sufficient decrease + two-sided
+            # curvature), no-decrease/overshoot shrinks hi, short-step
+            # raises lo.  A candidate only counts while it lies strictly
+            # inside the bracket as folded SO FAR (once some candidate
+            # sets an end, candidates outside it are stale) and while the
+            # row's nfeval budget allows another evaluation.  Acceptance
+            # is FIRST-ok in processing order — the sequential search's
+            # own candidate leads, so whenever it satisfies Wolfe the
+            # accepted point is the one the sequential search would have
+            # taken (a lowest-f-among-ok rule was tried first and
+            # REJECTED: under the reference's l2-less f / l2-full g
+            # inconsistency, bigger steps keep lowering f, so min-f
+            # systematically accepted the extrapolation ladder's top rung
+            # and drifted ~40% off the reference trajectory on the
+            # reuse_prev=False parity config).
+            acc = jnp.zeros((R,), dtype=bool)
+            a_acc = jnp.zeros((R,), dtype=dtype)
+            f_acc = jnp.full((R,), jnp.inf, dtype=dtype)
+            a_best, f_best = t["a_best"], t["f_best"]
+            nfe = t["nfeval"]
+            searching0 = t["searching"]
+            has_hi0 = has_hi  # bracketed at round START (candidate basis)
+            for c in range(C):
+                a_c, f_tc, gu_tc = cands[c], f_c[c], gu_c[c]
+                usable = (
+                    searching0 & ~acc & (a_c > lo) & (a_c < hi)
+                    & (nfe < maxupd)
+                )
+                suff = jnp.isfinite(f_tc) & (
+                    f_tc <= f + LS_RMU * a_c * dginit
+                )
+                # strong-Wolfe curvature: |g(trial).d| <= eta |g(x).d| —
+                # the trial brackets getptc's 1-D stationary point rather
+                # than accepting arbitrary overshoot
+                curv_lo = gu_tc >= TNC_ETA * dginit  # not steeply descending
+                curv_hi = gu_tc <= -TNC_ETA * dginit  # not past the minimum
+                wolfe = usable & suff & curv_lo & curv_hi
+                # bracketed rows accept ONLY at the cubic candidate (c=0):
+                # the subdivision candidates exist to FOLD the bracket
+                # (>= C-fold shrink per round), not to be endpoints —
+                # accepting at arbitrary subdivisions drifted 6-12% off
+                # the reference trajectory on the reuse_prev=False parity
+                # config, while cubic-only endpoints keep every accepted
+                # point in the same Hermite-minimizer family as getptc's
+                ok = wolfe & ((~has_hi0) | (c == 0)) if C > 1 else wolfe
+                # budget accounting is per ROUND, not per candidate: the
+                # round's C trials ride ONE plane sweep, so the batched
+                # work unit maxupd bounds is the round (counting every
+                # candidate burned the budget ~C-fold faster and
+                # truncated small-maxupd solves 0.4-2.4% worse in LL,
+                # layout-sensitively — the round-4 ELL-vs-COO band break)
+                if c == 0:
+                    nfe = nfe + usable.astype(jnp.int32)
+                take = ok & ~acc  # first-ok in processing order
+                a_acc = jnp.where(take, a_c, a_acc)
+                f_acc = jnp.where(take, f_tc, f_acc)
+                acc = acc | ok
+                better = usable & jnp.isfinite(f_tc) & (f_tc < f_best)
+                a_best = jnp.where(better, a_c, a_best)
+                f_best = jnp.where(better, f_tc, f_best)
+                # bracket: no sufficient decrease or overshot the
+                # stationary point -> too far (shrink); decrease but
+                # derivative still steep -> too short (raise lo)
+                to_hi = usable & ~ok & (~suff | ~curv_hi)
+                to_lo = usable & ~ok & suff & ~curv_lo & curv_hi
+                hi = jnp.where(to_hi, a_c, hi)
+                f_hi = jnp.where(to_hi, f_tc, f_hi)
+                g_hi = jnp.where(to_hi, gu_tc, g_hi)
+                lo = jnp.where(to_lo, a_c, lo)
+                f_lo = jnp.where(to_lo, f_tc, f_lo)
+                g_lo = jnp.where(to_lo, gu_tc, g_lo)
+
+            a_new = jnp.where(acc, a_acc, t["a_new"])
+            f_new = jnp.where(acc, f_acc, t["f_new"])
+            searching = searching0 & ~acc & (nfe < maxupd)
+            has_hi = jnp.isfinite(hi)
             # getptc terminates when the bracket collapses (its tol test,
             # tnc.c:1901-1913) — batched, a single numerically-dead row
-            # otherwise spins the WHOLE batch to MAX_LS every outer
-            # iteration (observed: one row x 16 rounds).  "Dead" = the
-            # achievable f-variation across the bracket (span x steepest
-            # end slope) is below f32 resolution of f — any "Wolfe point"
-            # found there would be noise.  The row falls through to the
-            # best-decrease point or LSFAIL exactly like the reference's
-            # collapsed getptc.
+            # otherwise spins the WHOLE batch to the round cap every
+            # outer iteration (observed: one row x 16 rounds).  "Dead" =
+            # the achievable f-variation across the bracket (span x
+            # steepest end slope) is below f32 resolution of f — any
+            # "Wolfe point" found there would be noise.  The row falls
+            # through to the best-decrease point or LSFAIL exactly like
+            # the reference's collapsed getptc.
             dead = has_hi & (
-                span * jnp.maximum(jnp.abs(g_lo), jnp.abs(g_hi))
+                (hi - lo) * jnp.maximum(jnp.abs(g_lo), jnp.abs(g_hi))
                 <= 16.0 * eps_f * (1.0 + jnp.abs(f))
             )
             searching = searching & ~dead
-            # unbounded extrapolation: the projected trial max(0, .) keeps
-            # any alpha feasible, so growth past the first bound crossing is
-            # exactly how one step zeroes many coordinates
+            # unbracketed rows continue the ladder past its last rung
             alpha = jnp.where(
-                searching,
-                jnp.where(has_hi, a_brack, alpha * LS_EXTRAP),
-                alpha,
+                searching & ~has_hi,
+                t["alpha"] * (LS_EXTRAP ** C),
+                t["alpha"],
             )
             return dict(alpha=alpha, lo=lo, hi=hi,
                         f_lo=f_lo, g_lo=g_lo, f_hi=f_hi, g_hi=g_hi,
-                        found=t["found"] | accept,
-                        x_new=x_new, f_new=f_new, x_best=x_best,
+                        found=t["found"] | acc,
+                        a_new=a_new, f_new=f_new, a_best=a_best,
                         f_best=f_best, searching=searching,
                         # dtype-pinned sums: under a jax_enable_x64 scope a
                         # plain int32 sum promotes to int64 (NumPy
@@ -436,15 +552,15 @@ def _tncg_core(
         ls = lax.while_loop(ls_cond, ls_body, ls0)
 
         # Wolfe point if found, else the best simple-decrease point; LSFAIL
-        # only when no trial decreased f at all.  (The ray variant's
-        # snap-to-bound fixup is unnecessary here: the projected trial's
-        # max(0, .) produces exact zeros by construction.)
+        # only when no trial decreased f at all.  Points are reconstructed
+        # from their steps (bit-identical to the in-loop trials: same
+        # max(0, x + a*d) formula, and the projection produces the exact
+        # zeros by construction).
         fallback = active & ~ls["found"] & (ls["f_best"] < f)
         moved = ls["found"] | fallback
-        x_next = jnp.where(
-            ls["found"][:, None], ls["x_new"],
-            jnp.where(fallback[:, None], ls["x_best"], x),
-        )
+        a_sel = jnp.where(ls["found"], ls["a_new"], ls["a_best"])
+        x_sel = jnp.maximum(x + a_sel[:, None] * d, 0.0)
+        x_next = jnp.where(moved[:, None], x_sel, x)
         f_next = jnp.where(
             ls["found"], ls["f_new"], jnp.where(fallback, ls["f_best"], f)
         )
@@ -551,7 +667,7 @@ def _stats_dict(out) -> dict:
 @functools.partial(
     jax.jit,
     static_argnames=("maxupd", "w_mult", "nnz_chunk", "ftol", "l2_in_f",
-                     "max_cg"),
+                     "max_cg", "ls_cand"),
 )
 def _tncg_update_jit(
     A: jnp.ndarray,
@@ -568,6 +684,7 @@ def _tncg_update_jit(
     ftol: float = TNC_FTOL,
     l2_in_f: bool = False,
     max_cg: Optional[int] = None,
+    ls_cand: int = LS_CAND_DEFAULT,
 ):
     """Jitted COO backend: ``reuse_prev`` and ``max_outer`` are traced
     scalars so every outer-cap / init combination shares ONE program (the
@@ -591,9 +708,10 @@ def _tncg_update_jit(
         return obj.poisson_fgh(Acur, B, X, Bsum, l2_reg, w_mult, nnz_chunk,
                                l2_in_f=l2_in_f)
 
-    def f_gtd(trial, d, bd):
-        return obj.poisson_f_gtd(trial, d, bd, B, X, Bsum, l2_reg, w_mult,
-                                 nnz_chunk, l2_in_f=l2_in_f)
+    def f_gtd_multi(alphas, xc, dc, bd):
+        return obj.poisson_f_gtd_multi(alphas, xc, dc, bd, B, X, Bsum,
+                                       l2_reg, w_mult, nnz_chunk,
+                                       l2_in_f=l2_in_f)
 
     def bdot(d):
         return obj.poisson_bdot(d, B, X)
@@ -620,10 +738,11 @@ def _tncg_update_jit(
     )
 
     x_final, share, out = _tncg_core(
-        x0, has_nnz, X.n_rows, fgh, f_gtd, hvp_with, bdot,
+        x0, has_nnz, X.n_rows, fgh, f_gtd_multi, hvp_with, bdot,
         maxupd=maxupd, max_outer=max_outer, maxcg=maxcg,
         x_prev_for_unchanged=jnp.where(has_nnz[:, None], A, 0.0),
         ftol=ftol, trial_frac=trial_frac, fgh_weight=fgh_weight,
+        ls_cand=ls_cand,
     )
     return x_final, share, _stats_dict(out)
 
@@ -645,6 +764,7 @@ def tncg_update(
     ftol: float = TNC_FTOL,
     l2_in_f: bool = False,
     max_cg: Optional[int] = None,
+    ls_cand: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One TNCG pass over every row of A (B fixed), flat-COO backend.
 
@@ -652,6 +772,8 @@ def tncg_update(
     fraction of true rows whose squared change is <= 1e-4 (for the
     early-stop rule).  ``track_unchanged`` is kept for API compatibility
     (the share is now always computed — it costs one [R, k] diff pass).
+    ``ls_cand``: line-search candidates per whole-batch round (default
+    ``POISMF_TNCG_LS_CAND`` or 4; 1 = sequential single-trial search).
     """
     del track_unchanged
     x_final, share, stats = _tncg_update_jit(
@@ -660,6 +782,8 @@ def tncg_update(
         jnp.asarray(_effective_max_outer(max_outer, maxupd), dtype=jnp.int32),
         l2_reg=l2_reg, w_mult=w_mult, maxupd=maxupd, nnz_chunk=nnz_chunk,
         ftol=ftol, l2_in_f=l2_in_f, max_cg=max_cg,
+        ls_cand=max(1, int(ls_cand if ls_cand is not None
+                           else _ls_cand_default())),
     )
     if return_stats:
         return x_final, share, stats
@@ -673,7 +797,8 @@ def tncg_update(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("maxupd", "w_mult", "ftol", "l2_in_f", "max_cg"),
+    static_argnames=("maxupd", "w_mult", "ftol", "l2_in_f", "max_cg",
+                     "ls_cand"),
 )
 def _tncg_update_ell_jit(
     A_perm: jnp.ndarray,
@@ -690,6 +815,7 @@ def _tncg_update_ell_jit(
     ftol: float = TNC_FTOL,
     l2_in_f: bool = False,
     max_cg: Optional[int] = None,
+    ls_cand: int = LS_CAND_DEFAULT,
 ):
     """Jitted ELL backend — one compiled program per (ELL shape, maxupd,
     w_mult): init mode, outer cap and row subset are all traced, so the
@@ -717,11 +843,11 @@ def _tncg_update_ell_jit(
                                l2_in_f=l2_in_f, want_px=False)
 
     # <B,d> is computed in-register from the same plane block the trial's
-    # prediction dot loads (f_gtd_fused_ell) — no hoisted bdot pass, no
+    # prediction dot loads (f_gtd_multi_ell) — no hoisted bdot pass, no
     # per-trial bd plane stream (bdot_weight=0 below)
-    def f_gtd(trial, d, bds):
+    def f_gtd_multi(alphas, xc, dc, bds):
         del bds
-        return ell_ops.f_gtd_fused_ell(trial, d, planes, ell, Bsum,
+        return ell_ops.f_gtd_multi_ell(alphas, xc, dc, planes, ell, Bsum,
                                        l2_reg, w_mult, l2_in_f=l2_in_f)
 
     def bdot(d):
@@ -749,13 +875,13 @@ def _tncg_update_ell_jit(
     fgh_weight = 1.0 + 4.0 / full_b  # + the w2 plane write
 
     x_final, share, out = _tncg_core(
-        x0, has_nnz, ell.n_rows, fgh, f_gtd, hvp_with, bdot,
+        x0, has_nnz, ell.n_rows, fgh, f_gtd_multi, hvp_with, bdot,
         maxupd=maxupd, max_outer=max_outer, maxcg=maxcg,
         x_prev_for_unchanged=jnp.where(has_nnz[:, None], A_perm, 0.0),
         true_row_mask=has_nnz,  # ELL slots with nnz are exactly the true rows
         active_mask=active_mask,
         ftol=ftol, trial_frac=trial_frac, fgh_weight=fgh_weight,
-        bdot_weight=0.0,
+        bdot_weight=0.0, ls_cand=ls_cand,
     )
     return x_final, share, _stats_dict(out)
 
@@ -777,6 +903,7 @@ def tncg_update_ell(
     ftol: float = TNC_FTOL,
     l2_in_f: bool = False,
     max_cg: Optional[int] = None,
+    ls_cand: Optional[int] = None,
 ):
     """One TNCG pass over every (permuted) row, planar-ELL backend.
 
@@ -786,7 +913,7 @@ def tncg_update_ell(
     solve to a subset of rows (used to continue a previous partial solve
     without re-activating rows that already terminated).
     ``track_unchanged`` is kept for API compatibility (the unchanged share
-    is now always computed).
+    is now always computed).  ``ls_cand`` as in :func:`tncg_update`.
     """
     del track_unchanged
     if active_mask is None:
@@ -798,6 +925,8 @@ def tncg_update_ell(
         active_mask,
         l2_reg=l2_reg, w_mult=w_mult, maxupd=maxupd, ftol=ftol,
         l2_in_f=l2_in_f, max_cg=max_cg,
+        ls_cand=max(1, int(ls_cand if ls_cand is not None
+                           else _ls_cand_default())),
     )
     if return_stats:
         return x_final, share, stats
