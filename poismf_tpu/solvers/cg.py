@@ -71,6 +71,7 @@ def _cg_core(
     limit_step: bool,
     maxnfeval: int,
     ray=None,
+    init=None,
 ) -> jnp.ndarray:
     """Backend-agnostic batched Li-2013 non-negative CG driver.
 
@@ -105,6 +106,12 @@ def _cg_core(
 
     The iterate trajectory is identical between the modes up to fp
     rounding (tested: test_cg.py::test_ray_matches_fused_trajectory).
+
+    ``init`` (ray mode only): precomputed ``(f0, g0, px0)`` at ``x0`` —
+    skips the initial full evaluation.  Used by the active-set compaction
+    driver, whose probe already evaluated (f, g, px) at the entry point
+    (full-batch or gathered into the compact layout); the probe's sweep is
+    accounted by the caller, so passes start at 0.
     """
     R, k = x0.shape
     dtype = x0.dtype
@@ -114,10 +121,16 @@ def _cg_core(
         # cap a trial clips against the bounds mid-ray, px + a*<B,d> no
         # longer equals pred(trial), and acceptance tests a wrong objective
         raise ValueError("ray trials require limit_step (no bound crossing)")
+    if init is not None and ray is None:
+        raise ValueError("init carries px planes: ray mode only")
     if use_ray:
         f_ray, bdot, ray_coef, trial_frac, fg_weight = ray
-        f0, g0, px0 = fg(x0)
-        passes0 = jnp.asarray(fg_weight, dtype=jnp.float32)
+        if init is not None:
+            f0, g0, px0 = init
+            passes0 = jnp.zeros((), dtype=jnp.float32)
+        else:
+            f0, g0, px0 = fg(x0)
+            passes0 = jnp.asarray(fg_weight, dtype=jnp.float32)
     else:
         f0, g0 = fg(x0)
         passes0 = jnp.ones((), dtype=jnp.float32)
@@ -439,6 +452,7 @@ def _cg_update_ell_jit(
     planes,
     ell: ell_ops.EllMatrix,
     Bsum: jnp.ndarray,
+    init=None,
     *,
     l2_reg: float,
     w_mult: float,
@@ -485,6 +499,7 @@ def _cg_update_ell_jit(
     x, passes = _cg_core(
         x0, has_nnz, fg,
         maxupd=maxupd, limit_step=limit_step, maxnfeval=maxnfeval, ray=ray,
+        init=init,
     )
     return (x, passes) if return_passes else x
 
@@ -502,14 +517,45 @@ def cg_update_ell(
     maxnfeval: int = CG_MAXNFEVAL,
     return_passes: bool = False,
     use_ray: Optional[bool] = None,
+    init=None,
 ):
     """CG iterations on the gather-free planar-ELL backend (permuted rows;
     ``planes`` from :func:`poismf_tpu.ops.ell.gather_planes`).  ``use_ray``
-    as in :func:`cg_update`."""
+    as in :func:`cg_update`; ``init`` = precomputed ``(f0, g0, px0)`` at
+    the entry point from :func:`cg_probe_ell` (ray mode only)."""
     if use_ray is None:
         use_ray = limit_step and _cg_ray_default()
     return _cg_update_ell_jit(
-        A_perm, planes, ell, Bsum, l2_reg=l2_reg, w_mult=w_mult,
+        A_perm, planes, ell, Bsum, init, l2_reg=l2_reg, w_mult=w_mult,
         maxupd=maxupd, limit_step=limit_step, maxnfeval=maxnfeval,
         return_passes=return_passes, use_ray=bool(use_ray),
     )
+
+
+@functools.partial(jax.jit, static_argnames=("w_mult",))
+def cg_probe_ell(
+    A_perm: jnp.ndarray,
+    planes,
+    ell: ell_ops.EllMatrix,
+    Bsum: jnp.ndarray,
+    l2_reg,
+    *,
+    w_mult: float = 1.0,
+):
+    """Entry-point probe for the CG active-set compaction driver: ONE full
+    evaluation sweep yielding the solver's own init ``(f0, g0, px0)`` plus
+    the rows that would run at all — the batched analog of the reference's
+    per-row first-iteration exit ``|<g, d>| <= tol`` (nonnegcg.c:264-269
+    with the capped direction of :236-239).  Rows already converged at
+    entry (the common case for most rows after the first few epochs) can
+    then be excluded from the iteration structure entirely instead of
+    paying plane bandwidth for every remaining batched iteration; the
+    returned init makes the probe's sweep REPLACE (not duplicate) the
+    solver's initial evaluation on both the full and the compact path."""
+    f0, g0, px0 = ell_ops.fg_ell(A_perm, planes, ell, Bsum, l2_reg, w_mult)
+    has_nnz = ell.row_nnz_perm > 0
+    x0 = jnp.where(has_nnz[:, None], A_perm, 0.0)
+    d = jnp.where((x0 <= 0.0) & (g0 >= 0.0), 0.0, -g0)
+    conv = jnp.abs(jnp.sum(g0 * d, axis=1)) <= CG_TOL
+    active = has_nnz & jnp.isfinite(f0) & ~conv
+    return f0, g0, px0, active

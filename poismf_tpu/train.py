@@ -119,6 +119,47 @@ def _compact_scatter(x_full, x_new, slot_map_d, row_nnz_c_d):
     return ell_ops.scatter_back(x_full, x_new, slot_map_d, row_nnz_c_d)
 
 
+@functools.partial(jax.jit, static_argnames=("plan", "dtype_name"))
+def _cg_compact_build(
+    x_full: jnp.ndarray,
+    fixed_p: jnp.ndarray,
+    ell,
+    bsum_in: jnp.ndarray,
+    f0: jnp.ndarray,
+    g0: jnp.ndarray,
+    px0,
+    sels,
+    src_cs,
+    slot_map,
+    row_nnz_c,
+    *,
+    plan,
+    dtype_name: Optional[str],
+):
+    """:func:`_compact_build` plus the CG probe's carried init: the entry
+    (f, g) rows and the per-bucket prediction planes ``px`` are gathered
+    into the compact layout, so the compact solve starts exactly where the
+    probe left off — no re-evaluation sweep on either path."""
+    from .ops import ell as ell_ops
+
+    compact, slot_map_d = ell_ops.build_compact(
+        ell, plan, sels, src_cs, slot_map, row_nnz_c
+    )
+    planes_c = ell_ops.gather_planes(fixed_p, compact, dtype_name)
+    bsum_c = (
+        bsum_in if bsum_in.ndim == 1
+        else jnp.take(bsum_in, slot_map_d, axis=0)
+    )
+    x_c = jnp.take(x_full, slot_map_d, axis=0)
+    f_c = jnp.take(f0, slot_map_d)
+    g_c = jnp.take(g0, slot_map_d, axis=0)
+    px_c = tuple(
+        jnp.take(p_, jnp.asarray(sel), axis=1, mode="fill", fill_value=0.0)
+        for p_, sel in zip(px0, sels)
+    )
+    return compact, planes_c, x_c, bsum_c, f_c, g_c, px_c
+
+
 def _compact_round(
     x_full: jnp.ndarray,
     fixed_p: jnp.ndarray,
@@ -469,18 +510,93 @@ def _run_poismf_ell(
         # (pg never reaches here on this layout: its whole epoch is the
         # fused single-program pg_epoch_ell)
         if p.method == "cg":
-            from .solvers.cg import cg_update_ell
+            from .solvers.cg import (_cg_ray_default, cg_probe_ell,
+                                     cg_update_ell)
 
-            out = cg_update_ell(
+            aux = _ELL_AUX.get(id(ell))
+            use_compact = (
+                p.compact_tail and p.limit_step and _cg_ray_default()
+                and aux is not None
+            )
+            if not use_compact:
+                out = cg_update_ell(
+                    target_p, planes, ell, bsum_in,
+                    l2_reg=p.l2_reg, w_mult=p.w_mult, maxupd=p.maxupd,
+                    limit_step=p.limit_step,
+                    return_passes=PASS_STATS is not None,
+                )
+                if PASS_STATS is not None:
+                    out, passes = out
+                    PASS_STATS.append((passes, swb))
+                return out, False
+            # --- CG active-set compaction: one probe sweep finds the rows
+            # that would iterate at all (|<g,d>| <= tol excludes most rows
+            # at entry after the first few epochs — the batched analog of
+            # the reference's per-row first-iteration exit, nonnegcg.c:
+            # 264-269 driven by poismf.c:296-322), then the batched
+            # iterations run on the smallest compact structure that fits
+            # the live tail.  CG dynamics are row-local, so compaction is
+            # result-exact up to fp assembly order.  The probe's (f, g,
+            # px) seed the solver on BOTH paths — no duplicated sweep.
+            f0, g0, px0, active_d = cg_probe_ell(
                 target_p, planes, ell, bsum_in,
+                jnp.asarray(p.l2_reg, dtype=target_p.dtype),
+                w_mult=p.w_mult,
+            )
+            if PASS_STATS is not None:
+                PASS_STATS.append((1.0 + 4.0 / (k * plane_it + 4.0), swb))
+            active = np.asarray(fetch_host(active_d))
+            sel = plan = None
+            for plan in aux["plans"]:  # smallest capacity first
+                sel = ell_ops.select_active(
+                    ell, plan, active, aux["row_nnz"], aux["src"]
+                )
+                if sel is not None:
+                    break
+            log = _cascade_logger(ell)
+            log(0, "full/init" if sel is None else f"compact/{plan.denom}",
+                True, None, active)
+            if sel is None:
+                _update_profile(ell, aux, active)
+                _maybe_build_adaptive_plan(ell, aux)
+                out = cg_update_ell(
+                    target_p, planes, ell, bsum_in,
+                    l2_reg=p.l2_reg, w_mult=p.w_mult, maxupd=p.maxupd,
+                    limit_step=p.limit_step, init=(f0, g0, px0),
+                    return_passes=PASS_STATS is not None,
+                )
+                if PASS_STATS is not None:
+                    out, passes = out
+                    PASS_STATS.append((passes, swb))
+                return out, False
+            sels, src_cs, slot_map, row_nnz_c, _ = sel
+            compact, planes_c, x_c, bsum_c, f_c, g_c, px_c = (
+                _cg_compact_build(
+                    target_p, fixed_p, ell, bsum_in, f0, g0, px0,
+                    tuple(sels), tuple(src_cs), slot_map, row_nnz_c,
+                    plan=plan,
+                    dtype_name=(None if plane_dtype is None
+                                else str(np.dtype(plane_dtype))),
+                )
+            )
+            out_c = cg_update_ell(
+                x_c, planes_c, compact, bsum_c,
                 l2_reg=p.l2_reg, w_mult=p.w_mult, maxupd=p.maxupd,
-                limit_step=p.limit_step,
+                limit_step=p.limit_step, init=(f_c, g_c, px_c),
                 return_passes=PASS_STATS is not None,
             )
             if PASS_STATS is not None:
-                out, passes = out
-                PASS_STATS.append((passes, swb))
-            return out, False
+                out_c, passes_c = out_c
+                padded_c = _plan_padded_nnz(ell, plan)
+                PASS_STATS.append(
+                    (1.0, 2.0 * padded_c * (k * plane_it + 4.0))
+                )
+                PASS_STATS.append(
+                    (passes_c, _sweep_bytes(padded_c, k, plane_it))
+                )
+            new = _compact_scatter(target_p, out_c, compact.perm,
+                                   compact.row_nnz_perm)
+            return new, False
         from .solvers.tncg import tncg_update_ell
 
         aux = _ELL_AUX.get(id(ell))

@@ -239,3 +239,60 @@ def test_ray_matches_fused_trajectory(rng):
         poisson_f(A_ray, jnp.asarray(B), X, Bsum, 0.5)
     )[:n_rows]
     np.testing.assert_allclose(f_ell, f_coo, rtol=1e-3)
+
+
+def test_cg_compact_tail_matches_full_fit():
+    """The CG active-set compaction (probe + compact continuation,
+    train.py cg branch) must reproduce the plain full-batch fit: CG
+    dynamics are row-local, so excluding entry-converged rows from the
+    iteration structure is result-exact (up to fp assembly order — on
+    the same bucket structure it is bit-identical)."""
+    import dataclasses
+
+    rng = np.random.default_rng(3)
+    n_u, n_i, nnz = 400, 150, 6000
+    rows = rng.integers(0, n_u, nnz).astype(np.int32)
+    cols = rng.integers(0, n_i, nnz).astype(np.int32)
+    vals = (rng.poisson(2.0, nnz) + 1).astype(np.float32)
+    by_user, by_item = build_both_orientations(rows, cols, vals, n_u, n_i)
+    A0 = initialize_factors(n_u, by_user.n_rows_pad, 16,
+                            np.random.default_rng(1))
+    B0 = initialize_factors(n_i, by_item.n_rows_pad, 16,
+                            np.random.default_rng(2))
+    p_on = FitParams(k=16, method="cg", niter=8, compact_tail=True)
+    p_off = dataclasses.replace(p_on, compact_tail=False)
+    A1, B1, st1 = run_poismf(A0, B0, by_user, by_item, p_on)
+    A2, B2, st2 = run_poismf(A0, B0, by_user, by_item, p_off)
+    assert st1 == 0 and st2 == 0
+    np.testing.assert_allclose(np.asarray(A1), np.asarray(A2),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(B1), np.asarray(B2),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_cg_probe_init_matches_plain_call():
+    """cg_update_ell with the probe's (f0, g0, px0) init must match the
+    plain call (which computes the same quantities internally)."""
+    from poismf_tpu.ops import ell as ell_ops
+    from poismf_tpu.solvers.cg import cg_probe_ell, cg_update_ell
+
+    rows, cols, vals = synth_counts(np.random.default_rng(11), 200, 60, 0.2)
+    n_rows, n_cols = 200, 60
+    X = build_counts(rows, cols, vals.astype(np.float32), n_rows, n_cols)
+    B = 0.3 + np.random.default_rng(5).uniform(0, 0.2, (n_cols, 12))
+    Bsum = make_bsum(jnp.asarray(B, dtype=jnp.float32), n_cols, 0.0)
+    A0 = initialize_factors(n_rows, X.n_rows_pad, 12,
+                            np.random.default_rng(7))
+    ell = ell_ops.ell_from_counts(X)
+    planes = ell_ops.gather_planes(jnp.asarray(B, dtype=jnp.float32), ell)
+    A0p = ell_ops.permute_rows(A0, ell.perm)
+    kw = dict(l2_reg=0.5, maxupd=6)
+    f0, g0, px0, active = cg_probe_ell(
+        A0p, planes, ell, Bsum, jnp.asarray(0.5, dtype=jnp.float32)
+    )
+    assert bool(np.asarray(active).any())
+    out_plain = cg_update_ell(A0p, planes, ell, Bsum, **kw)
+    out_init = cg_update_ell(A0p, planes, ell, Bsum, init=(f0, g0, px0),
+                             **kw)
+    np.testing.assert_array_equal(np.asarray(out_plain),
+                                  np.asarray(out_init))
