@@ -444,7 +444,7 @@ QUALITY_CONFIGS = {
 
 
 def run_quality(scale: float, out_path: str = "QUALITY_r04.json",
-                configs=("warm", "sparse")):
+                configs=("warm", "sparse"), ref_only: bool = False):
     """Full(-ish)-scale matched-quality evidence vs the compiled reference C:
     fit BOTH implementations on the same synthetic power-law data from the
     same init, then compare final train LL, factor sparsity (A and B) and
@@ -455,6 +455,9 @@ def run_quality(scale: float, out_path: str = "QUALITY_r04.json",
     The reference fits run single-threaded on this 1-core host (~25 min
     each at scale=0.25), so their factors are cached in /tmp keyed on
     (scale, seed, config); delete the cache files to re-run them.
+    ``ref_only=True`` runs/caches ONLY the reference fits and returns —
+    the CPU-bound half can then run in the background without holding the
+    TPU or fighting the (host-side) remote compiler.
     """
     import scipy.sparse as sp
 
@@ -526,6 +529,8 @@ def run_quality(scale: float, out_path: str = "QUALITY_r04.json",
             np.savez_compressed(cache, A=A_ref, B=B_ref, wall_s=ref_wall)
             print(f"# [quality/{cname}] reference fit: {ref_wall:.0f}s "
                   "(1 thread)", file=sys.stderr, flush=True)
+        if ref_only:
+            continue
 
         # --- ours, same data + init, TPU f32 path ---
         A = jnp.zeros((by_user.n_rows_pad, K), dtype=jnp.float32)
@@ -622,8 +627,9 @@ def run_quality(scale: float, out_path: str = "QUALITY_r04.json",
         line = json.dumps(out)
         lines.append(line)
         print(line)
-    with open(out_path, "w") as f:
-        f.write("\n".join(lines) + "\n")
+    if lines:
+        with open(out_path, "w") as f:
+            f.write("\n".join(lines) + "\n")
 
 
 def tempfile_dir():
