@@ -906,6 +906,71 @@ def f_ray_multi_ell(
     return jnp.stack(fs)
 
 
+def _bucket_data_raygtd_multi(b: EllBucket, px, pd, a_b):
+    """One bucket's (f, g.d) ray data terms at C candidate steps in ONE
+    px/pd/vals stream (see pallas_kernels.raygtd_multi_bucket).  ``a_b``
+    [C, R_b] -> (neg_llk [C, R_b], gud [C, R_b])."""
+    import jax.numpy as jnp
+
+    mode = _pallas_state()
+    if mode is not None and px.dtype != jnp.float64:
+        from . import pallas_kernels as pk
+
+        return pk.raygtd_multi_bucket(
+            px.astype(jnp.float32), pd.astype(jnp.float32),
+            b.vals.astype(jnp.float32), a_b.astype(jnp.float32),
+            interpret=(mode == "interpret"),
+        )
+    pred = px[None] + a_b[:, None, :] * pd[None]  # [C, P, R_b]
+    valid = (b.vals > 0)[None]
+    logt = jnp.where(valid, b.vals[None] * jnp.log(pred), 0.0)
+    nll = -jnp.sum(logt, axis=1)
+    ratio = jnp.where(
+        valid, b.vals[None] * pd[None] / jnp.maximum(pred, PRED_EPS), 0.0
+    )
+    gud = jnp.sum(ratio, axis=1)
+    return nll, gud
+
+
+def f_gtd_ray_multi_ell(
+    alphas,
+    coef,
+    pxs: Sequence[Any],
+    bds: Sequence[Any],
+    ell: EllMatrix,
+    l2_reg: float,
+    w_mult: float = 1.0,
+    l2_in_f: bool = True,
+):
+    """COMPLETE (f, g(trial).d) at C candidate steps along the ray
+    ``x + alpha*d`` in ONE px/pd/vals stream per bucket — the TNCG line
+    search's multi-candidate round with every step capped at the first
+    bound crossing (the reference's stepMax contract, tnc.c:795), so the
+    trial is EXACTLY the ray point and its predictions the cached-plane
+    linear combination.  ``alphas`` [C, n_rows_ell] ->
+    (f [C, n_rows_ell], gtd [C, n_rows_ell]); same poisoning semantics as
+    :func:`f_gtd_ray_ell`."""
+    import jax.numpy as jnp
+
+    from .objective import combine_f_gtd_ray
+
+    C = alphas.shape[0]
+    dtype = alphas.dtype
+    per_bucket = []
+    for b, px, pd in zip(ell.buckets, pxs, bds):
+        a_b = _bucket_x(alphas.T, b).T  # [C, R_b] (src-aware long rows)
+        per_bucket.append(_bucket_data_raygtd_multi(b, px, pd, a_b))
+    fs, gs = [], []
+    for c in range(C):
+        nll_c = _assemble(ell, [n[c] for n, _ in per_bucket], (), dtype)
+        gud_c = _assemble(ell, [g[c] for _, g in per_bucket], (), dtype)
+        f_c, g_c = combine_f_gtd_ray(nll_c, gud_c, alphas[c], coef,
+                                     l2_reg, w_mult, l2_in_f)
+        fs.append(f_c)
+        gs.append(g_c)
+    return jnp.stack(fs), jnp.stack(gs)
+
+
 def f_gtd_ray_ell(
     alpha,
     coef,

@@ -523,6 +523,71 @@ def poisson_f_ray_multi(
     ])
 
 
+def poisson_f_gtd_ray_multi(
+    alphas: jnp.ndarray,
+    coef,
+    px: jnp.ndarray,
+    bd: jnp.ndarray,
+    X: CountsMatrix,
+    l2_reg: float,
+    w_mult: float = 1.0,
+    nnz_chunk: Optional[int] = None,
+    l2_in_f: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """COMPLETE (f, g(trial).d) at C candidate steps along the ray in one
+    pass over the cached px/bd edge streams (flat-COO analog of
+    :func:`poismf_tpu.ops.ell.f_gtd_ray_multi_ell`; the multi-candidate
+    twin of :func:`poisson_f_gtd_ray`).  ``alphas`` [C, R_pad] ->
+    (f [C, R_pad], gtd [C, R_pad])."""
+    R = X.n_rows_pad
+    C = alphas.shape[0]
+    dtype = alphas.dtype
+
+    def eval_chunk(row_ids, vals, px_c, bd_c):
+        rows = jnp.minimum(row_ids, R - 1)
+        valid = vals > 0
+        nls, gds = [], []
+        for c in range(C):
+            a_e = jnp.take(alphas[c], rows)
+            pred = px_c + a_e * bd_c
+            log_term = jnp.where(valid, vals * jnp.log(pred), 0.0)
+            nls.append(-segment_rowsum(log_term, row_ids, R))
+            ratio = jnp.where(
+                valid, vals * bd_c / jnp.maximum(pred, PRED_EPS), 0.0
+            )
+            gds.append(segment_rowsum(ratio, row_ids, R))
+        return jnp.stack(nls), jnp.stack(gds)
+
+    chunk = _maybe_chunk(X.nnz_pad, nnz_chunk)
+    if chunk is None:
+        nll, gud = eval_chunk(X.row_ids, X.vals, px, bd)
+    else:
+        n_chunks = X.nnz_pad // chunk
+
+        def body(carry, xs):
+            nl, gd = eval_chunk(*xs)
+            return (carry[0] + nl, carry[1] + gd), None
+
+        (nll, gud), _ = lax.scan(
+            body,
+            (jnp.zeros((C, R), dtype), jnp.zeros((C, R), dtype)),
+            (
+                X.row_ids.reshape(n_chunks, chunk),
+                X.vals.reshape(n_chunks, chunk),
+                px.reshape(n_chunks, chunk),
+                bd.reshape(n_chunks, chunk),
+            ),
+        )
+
+    fs, gs = [], []
+    for c in range(C):
+        f_c, g_c = combine_f_gtd_ray(nll[c], gud[c], alphas[c], coef,
+                                     l2_reg, w_mult, l2_in_f)
+        fs.append(f_c)
+        gs.append(g_c)
+    return jnp.stack(fs), jnp.stack(gs)
+
+
 def poisson_fg(
     A: jnp.ndarray,
     B: jnp.ndarray,

@@ -714,6 +714,77 @@ def rayf_multi_bucket(px, pd, vals, alphas, interpret: bool = False):
     return nll
 
 
+def _raygtd_multi_kernel(C, px_ref, pd_ref, vals_ref, alphas_ref,
+                         nll_ref, gud_ref):
+    pj = pl.program_id(1)
+
+    @pl.when(pj == 0)
+    def _():
+        nll_ref[...] = jnp.zeros_like(nll_ref)
+        gud_ref[...] = jnp.zeros_like(gud_ref)
+
+    px = px_ref[...]  # [TP, TR]
+    pd = pd_ref[...]
+    vals = vals_ref[...]
+    a = alphas_ref[...]  # [C, TR]
+    valid = vals > 0
+    nacc, gacc = [], []
+    for c in range(C):
+        pred = px + a[c][None, :] * pd
+        # unfloored log: non-positive trial predictions poison with
+        # inf/nan exactly like the single-candidate kernels
+        logt = jnp.where(valid, vals * jnp.log(pred), 0.0)
+        nacc.append(-jnp.sum(logt, axis=0))
+        ratio = jnp.where(
+            valid, vals * pd / jnp.maximum(pred, PRED_EPS), 0.0
+        )
+        gacc.append(jnp.sum(ratio, axis=0))
+    nll_ref[...] += jnp.stack(nacc)
+    gud_ref[...] += jnp.stack(gacc)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def raygtd_multi_bucket(px, pd, vals, alphas, interpret: bool = False):
+    """Trial f AND g(trial).d data terms at C ray steps for one bucket —
+    the TNCG line search's multi-candidate round on cached prediction
+    planes (ray twin of :func:`f_gtd_multi_bucket`; same candidate packing
+    as :func:`rayf_multi_bucket` plus the derivative stream).
+
+    px, pd, vals [P, R] f32, alphas [C, R] f32 ->
+    (neg_llk [C, R], gud [C, R]).
+    """
+    C = alphas.shape[0]
+    P, Rb = px.shape
+    tp, tr = _ray_tiles(P, Rb)
+    grid = (Rb // tr, P // tp)
+    nll, gud = pl.pallas_call(
+        functools.partial(_raygtd_multi_kernel, C),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tp, tr), lambda ri, pj: (pj, ri),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tp, tr), lambda ri, pj: (pj, ri),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tp, tr), lambda ri, pj: (pj, ri),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, tr), lambda ri, pj: (0, ri),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((C, tr), lambda ri, pj: (0, ri),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, tr), lambda ri, pj: (0, ri),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((C, Rb), jnp.float32),
+            jax.ShapeDtypeStruct((C, Rb), jnp.float32),
+        ],
+        interpret=interpret,
+    )(px, pd, vals, alphas)
+    return nll, gud
+
+
 # ---------------------------------------------------------------------------
 # Hessian-vector product (one plane read; bv and the w2-weighted reduction
 # both consume the in-register block)

@@ -22,11 +22,15 @@ fixed-shape equivalent:
                                             stops when every row converged
   2-step SSBFGS diagonal preconditioner   exact Hessian diagonal (Jacobi)
     (msolve :1444-1528)                     2*l2 + sum_i w2_i B_ik^2
-  Gill-Murray cubic line search           batched Wolfe search on projected
-    (linearSearch :1664-1813)               trials x(a) = max(0, x + a*d),
-                                            safeguarded-cubic interpolation,
-                                            LS_CAND candidates per round in
-                                            one data sweep
+  Gill-Murray cubic line search           batched Wolfe search on RAY
+    (linearSearch :1664-1813,               trials x + a*d with a capped at
+    stepMax cap tnc.c:795)                  the nearest bound (the
+                                            reference's stepMax/newcon
+                                            contract), safeguarded-cubic
+                                            interpolation, LS_CAND
+                                            candidates per round in ONE
+                                            cached px/pd/vals stream
+                                            (~1/9 of a data sweep)
   convergence |df|<=ftol, |dx|<=xtol,     same tests, batched per row
     |pg|<=pgtol (:699-712, 909-929)
   maxnfeval budget (= maxupd)             same accounting: +1 per f/g eval,
@@ -70,11 +74,12 @@ LS_RMU = 1e-4  # sufficient-decrease mu (tnc.c linearSearch:1734 rmu)
 LS_EXTRAP = 4.0  # bracket growth factor while no upper bound found
 MAX_LS = 16  # per-row trial budget cap (evaluations, not rounds)
 # line-search candidates per whole-batch round (POISMF_TNCG_LS_CAND):
-# each round evaluates LS_CAND projected trials in ONE plane stream
-# (f_gtd_multi kernels; ~1.4x a single trial's wall for 4 candidates),
-# so the max-over-rows round count — the LS tail's dominant cost —
-# shrinks ~LS_CAND-fold in the bracketing phase.  1 = the sequential
-# single-trial search (one cubic/extrapolation step per round).
+# each round evaluates LS_CAND ray trials in ONE cached px/pd/vals
+# stream (f_gtd_ray_multi kernels; marginal cost per extra candidate is
+# in-register arithmetic only), so the max-over-rows round count — the
+# LS tail's dominant cost — shrinks ~LS_CAND-fold in the bracketing
+# phase.  1 = the sequential single-trial search (one
+# cubic/extrapolation step per round).
 LS_CAND_DEFAULT = 4
 
 import os as _os
@@ -106,10 +111,11 @@ def _tncg_core(
     has_nnz: jnp.ndarray,
     n_rows: int,
     fgh: Callable,  # x -> (f [R], g [R,k], w2 (opaque), diag [R,k], px)
-    f_gtd_multi: Callable,  # (alphas [C,R], x, d, bd) ->
-    # (f [C,R], g(trial).d [C,R]) at C projected trials, one data sweep
+    f_gtd_ray_multi: Callable,  # (alphas [C,R], coef, px, bd) ->
+    # (f [C,R], g(trial).d [C,R]) at C ray trials, one px/pd/vals stream
     hvp_with: Callable,  # (w2, fixed_mask) -> (V -> HV)
-    bdot: Callable,  # d -> hoisted <B, d> factors, or None (fused f_gtd)
+    bdot: Callable,  # d -> cached <B, d> prediction-direction factors
+    ray_coef_fn: Callable,  # (x, d) -> per-row quadratic coef (ray_coef)
     *,
     maxupd: int,
     max_outer,  # scalar (may be traced): outer-iteration cap
@@ -120,9 +126,8 @@ def _tncg_core(
     ftol: float = TNC_FTOL,
     trial_frac: float = 1.0,  # sweep-fraction cost of one LS trial round
     fgh_weight: float = 1.0,  # sweep cost of one fgh eval (aux plane writes)
-    bdot_weight: float = 1.0,  # sweep cost of the hoisted <B,d> pass (0 when
-    # the backend's f_gtd computes <B,d> in-register from the same block)
-    ls_cand: int = LS_CAND_DEFAULT,  # projected trials per LS round
+    bdot_weight: float = 1.0,  # sweep cost of the hoisted <B,d> pass
+    ls_cand: int = LS_CAND_DEFAULT,  # ray trials per LS round
 ):
     """Backend-agnostic batched truncated-Newton driver (see module doc).
 
@@ -131,30 +136,37 @@ def _tncg_core(
     program; the unchanged-rows share is always computed (its cost is one
     [R, k] diff pass, invisible next to the solve).
 
-    The line search evaluates PROJECTED trials ``max(0, x + alpha*d)``,
-    ``ls_cand`` candidates per whole-batch round in ONE data sweep
-    (``f_gtd_multi``; the ``<B,d>`` factors either come from a hoisted
-    ``bdot`` pass or — on the ELL backend — are computed in-register from
-    the same plane block, ``bdot_weight=0``).  Rounds are max-over-rows,
-    so packing candidates into one stream is the lever on the LS tail:
-    unbracketed rows probe the extrapolation ladder alpha*EXTRAP^{0..C-1},
-    bracketed rows probe the safeguarded-cubic point plus even bracket
-    subdivisions, and the per-row fold processes candidates in ascending
-    order with exactly the sequential search's classification (Wolfe
-    accept / too-far shrinks hi / too-short raises lo), so ls_cand=1
-    reproduces the sequential cubic search.  A ray-based variant — trials
-    capped at the first bound crossing so f comes from cached prediction
-    planes at ~1/9 sweep each — was tried and REVERTED: capping at the
-    nearest bound admits only ONE newly-zeroed coordinate per outer
-    iteration, and rows heading for a >80%-zero optimum then need tens of
-    outer iterations where a projected trial zeroes many coordinates in one
-    accepted step.  Batched, every row pays the max-over-rows iteration
-    count: the ray variant measured 2.5x SLOWER end-to-end (25%-scale tncg
-    fit 28.5 s vs 11.5 s in the same tunnel window) for ~1% better final
-    LL — the multi-bound projected step is what makes the BATCHED solver
-    terminate fast.  (CG keeps its ray line search: the reference's
-    nonnegcg caps at the first bound crossing natively — limit_step,
-    nonnegcg.c:272-288 — so there the ray is exact AND dynamics-neutral.)"""
+    The line search is RAY-BASED with multi-candidate rounds: every step
+    is capped at ``spe`` — the distance to the nearest bound along d —
+    exactly as the reference caps getptc at stepMax (tnc.c:795, xbnd at
+    tnc.c:1861-1864), so the trial point is exactly ``x + alpha*d`` and
+    its predictions are the linear combination ``px + alpha*pd`` of
+    planes cached by ``fgh``/``bdot``; each round evaluates ``ls_cand``
+    candidates in ONE px/pd/vals stream (``f_gtd_ray_multi``, a small
+    fraction of a full plane sweep).  A step accepted AT the cap is the
+    reference's newcon case (tnc.c:833-835): the zeroed coordinate is
+    pivoted onto the bound and picked up by the next iteration's
+    active-set logic — ONE new zero per outer iteration, exactly the
+    reference's constraint-activation rate.  A PROJECTED-trial variant
+    (max(0, x + alpha*d), unbounded extrapolation, many coordinates
+    zeroed per accepted step) was tried in round 3.5 and REVERTED: it
+    measured ~2.5x faster end-to-end (25%-scale tncg 11.5 s vs 28.5 s)
+    and slightly better final train LL, but its trajectory leaves the
+    reference's face-by-face path entirely — at the 25%-scale quality
+    harness B-sparsity collapsed 0.956 -> 0.41 and P@5 0.20 -> 0.08
+    (QUALITY_r04 first cut) while the ray variant matches the reference
+    (0.947 / 0.198).  The headline >90%-exact-zeros regime IS the
+    product contract (/root/reference/README.md:28); the speed lever is
+    packing candidates per round + the compaction cascade, not changing
+    the search geometry.  Rounds are max-over-rows, so folding
+    candidates into one stream is the lever on the LS tail: unbracketed
+    rows probe the spe-clamped extrapolation ladder
+    min(alpha*EXTRAP^{0..C-1}, spe), bracketed rows probe the
+    safeguarded-cubic point plus even bracket subdivisions, and the
+    per-row fold processes candidates in ascending order with exactly
+    the sequential search's classification (Wolfe/newcon accept,
+    too-far shrinks hi, too-short raises lo), so ls_cand=1 reproduces
+    the sequential search."""
     R, k = x0.shape
     dtype = x0.dtype
 
@@ -163,13 +175,14 @@ def _tncg_core(
     pgtol = 1e-2 * (rteps ** 0.5)  # tnc.c:431-433 with accuracy=rteps
     xtol = rteps
 
-    f0, g0, w20, diag0, _px0 = fgh(x0)
+    f0, g0, w20, diag0, px0 = fgh(x0)
     state0 = dict(
         x=x0,
         f=f0,
         g=g0,
         w2=w20,
         diag=diag0,
+        px=px0,
         nfeval=jnp.ones((R,), dtype=jnp.int32),
         active=(
             has_nnz & jnp.isfinite(f0)
@@ -296,15 +309,16 @@ def _tncg_core(
         # --- derivative-informed line search (tnc.c linearSearch/getptc) ---
         # Acceptance is getptc-style: sufficient decrease on f (rmu=1e-4,
         # tnc.c:1734) plus the one-sided curvature condition
-        # g(trial).d >= eta * g(x).d (eta=0.25).  Each trial evaluates the
-        # PROJECTED point max(0, x + alpha*d) with f AND the directional
-        # derivative in one data pass, exactly like the reference's function
-        # calls inside getptc (tnc.c:1750-1772); the <B,d> factors are
-        # either hoisted out of the trial loop (COO: one extra SDDMM pass)
-        # or fused into the trial kernel (ELL: zero extra traffic).
-        # The projection is what lets one accepted step zero MANY
-        # coordinates at once (the batched-termination lever — see the
-        # module docstring's note on the reverted ray variant).
+        # g(trial).d >= eta * g(x).d (eta=0.25).  Every step is capped at
+        # ``spe`` — the distance to the nearest bound along d — exactly as
+        # the reference caps getptc at stepMax (tnc.c:795, xbnd at
+        # tnc.c:1861-1864); a step accepted AT the cap is the reference's
+        # newcon case (tnc.c:833-835, the new constraint is picked up by
+        # the next iteration's active-set logic).  Under the cap the trial
+        # is exactly x + alpha*d, so each round's candidates get f AND the
+        # directional derivative from the cached prediction planes
+        # (f_gtd_ray_multi) at a fraction of a data sweep; only bdot's
+        # <B,d> pass reads the full planes.
         # The initial step mirrors initialStep (tnc.c:1371-1382) with the
         # fmin=0 the reference passes (poismf.c:387): alpha0 = 2f/|g.d| when
         # f > 0, capped at the distance to the nearest bound along d.
@@ -319,6 +333,8 @@ def _tncg_core(
         a0 = jnp.minimum(a0, spe)
         a0 = jnp.where(jnp.isfinite(a0) & (a0 > 0.0), a0, 1.0)
         bd = bdot(d)
+        coef = ray_coef_fn(x, d)
+        px = s["px"]
 
         C = int(ls_cand)
         # whole-batch LS round cap: MAX_LS rounds regardless of C — the
@@ -413,7 +429,7 @@ def _tncg_core(
             )
             if C == 1:
                 cands_brack = a_brack[None]
-                cands_ladder = t["alpha"][None]
+                cands_ladder = jnp.minimum(t["alpha"], spe)[None]
             else:
                 # processing order: the SEQUENTIAL search's own candidate
                 # first (the safeguarded cubic), then even subdivisions in
@@ -424,16 +440,18 @@ def _tncg_core(
                     [a_brack]
                     + [lo + span * ((j + 1.0) / C) for j in range(C - 1)]
                 )
-                # unbracketed rows probe the extrapolation ladder: the
-                # projected trial max(0, .) keeps any alpha feasible, so
-                # growth past the first bound crossing is exactly how one
-                # step zeroes many coordinates
+                # unbracketed rows probe the extrapolation ladder CLAMPED
+                # at spe (the reference's stepMax): rungs past the clamp
+                # collapse onto spe and the per-row fold skips the
+                # duplicates (a_c < hi fails once the first cap trial set
+                # hi = spe), so the cap trial is evaluated exactly once
                 cands_ladder = jnp.stack(
-                    [t["alpha"] * (LS_EXTRAP ** j) for j in range(C)]
+                    [jnp.minimum(t["alpha"] * (LS_EXTRAP ** j), spe)
+                     for j in range(C)]
                 )
             cands = jnp.where(has_hi[None, :], cands_brack, cands_ladder)
 
-            f_c, gu_c = f_gtd_multi(cands, x, d, bd)
+            f_c, gu_c = f_gtd_ray_multi(cands, coef, px, bd)
 
             # --- per-row fold, candidates in processing order ---
             # Exactly the sequential search's classification per
@@ -474,6 +492,12 @@ def _tncg_core(
                 curv_lo = gu_tc >= TNC_ETA * dginit  # not steeply descending
                 curv_hi = gu_tc <= -TNC_ETA * dginit  # not past the minimum
                 wolfe = usable & suff & curv_lo & curv_hi
+                # bound step at the cap with sufficient decrease and the
+                # 1-D minimum still ahead: take it — the reference's
+                # newcon case (tnc.c:833-835); the next outer iteration's
+                # active-set logic pivots the zeroed coordinate
+                at_cap = a_c >= spe * (1.0 - 1e-6)
+                newcon = usable & suff & at_cap & ~curv_lo
                 # bracketed rows accept ONLY at the cubic candidate (c=0):
                 # the subdivision candidates exist to FOLD the bracket
                 # (>= C-fold shrink per round), not to be endpoints —
@@ -482,6 +506,7 @@ def _tncg_core(
                 # config, while cubic-only endpoints keep every accepted
                 # point in the same Hermite-minimizer family as getptc's
                 ok = wolfe & ((~has_hi0) | (c == 0)) if C > 1 else wolfe
+                ok = ok | newcon
                 # budget accounting is per ROUND, not per candidate: the
                 # round's C trials ride ONE plane sweep, so the batched
                 # work unit maxupd bounds is the round (counting every
@@ -528,9 +553,10 @@ def _tncg_core(
             )
             searching = searching & ~dead
             # unbracketed rows continue the ladder past its last rung
+            # (clamped at spe — the cap trial is never exceeded)
             alpha = jnp.where(
                 searching & ~has_hi,
-                t["alpha"] * (LS_EXTRAP ** C),
+                jnp.minimum(t["alpha"] * (LS_EXTRAP ** C), spe),
                 t["alpha"],
             )
             return dict(alpha=alpha, lo=lo, hi=hi,
@@ -551,16 +577,29 @@ def _tncg_core(
 
         ls = lax.while_loop(ls_cond, ls_body, ls0)
 
-        # Wolfe point if found, else the best simple-decrease point; LSFAIL
-        # only when no trial decreased f at all.  Points are reconstructed
-        # from their steps (bit-identical to the in-loop trials: same
-        # max(0, x + a*d) formula, and the projection produces the exact
-        # zeros by construction).
+        # Wolfe/newcon point if found, else the best simple-decrease point;
+        # LSFAIL only when no trial decreased f at all.  Points are
+        # reconstructed from their steps; alpha <= spe so the max(0, .)
+        # only cleans rounding residue.
         fallback = active & ~ls["found"] & (ls["f_best"] < f)
         moved = ls["found"] | fallback
         a_sel = jnp.where(ls["found"], ls["a_new"], ls["a_best"])
         x_sel = jnp.maximum(x + a_sel[:, None] * d, 0.0)
         x_next = jnp.where(moved[:, None], x_sel, x)
+        # addConstraint analog (tnc.c:1076-1084): a coordinate that moved
+        # toward the bound and landed within 10*eps*(1+|x|) of it is
+        # pivoted EXACTLY onto the bound.  Without this, a bound step
+        # accepted at spe leaves rounding residue (~eps*x) that keeps the
+        # coordinate "free": the next direction pushes it negative again,
+        # spe collapses to ~residue/|d|, and the microscopic step trips
+        # conv_x — rows terminate far short of the optimum (caught by the
+        # factors_single golden parity test).  Snapping flips the face,
+        # which also skips the convergence tests this iteration (the
+        # reference's newcon guard, tnc.c:906-907, via same_face below).
+        snap_tol = 10.0 * eps_f * (1.0 + jnp.abs(x))
+        x_next = jnp.where(
+            moved[:, None] & (d < 0.0) & (x_next <= snap_tol), 0.0, x_next
+        )
         f_next = jnp.where(
             ls["found"], ls["f_new"], jnp.where(fallback, ls["f_best"], f)
         )
@@ -586,9 +625,9 @@ def _tncg_core(
 
         active_next = active & ~conv_f & ~conv_x & ~ls_fail & ~budget
 
-        # f/g/Hessian data at the accepted point, all in one fused pass
-        # (+1 eval for rows that moved)
-        _, g_next, w2_next, diag_next, _px_next = fgh(x_next)
+        # f/g/Hessian data + prediction planes at the accepted point, all
+        # in one fused pass (+1 eval for rows that moved)
+        _, g_next, w2_next, diag_next, px_next = fgh(x_next)
         nfe = ls["nfeval"] + moved.astype(jnp.int32)
 
         # sweeps this outer iteration: one per inner-CG HVP, bdot_weight
@@ -607,6 +646,7 @@ def _tncg_core(
             g=g_next,
             w2=w2_next,
             diag=diag_next,
+            px=px_next,
             nfeval=nfe,
             active=active_next,
             ls_rounds=s["ls_rounds"] + ls["t"],
@@ -708,20 +748,25 @@ def _tncg_update_jit(
         return obj.poisson_fgh(Acur, B, X, Bsum, l2_reg, w_mult, nnz_chunk,
                                l2_in_f=l2_in_f)
 
-    def f_gtd_multi(alphas, xc, dc, bd):
-        return obj.poisson_f_gtd_multi(alphas, xc, dc, bd, B, X, Bsum,
-                                       l2_reg, w_mult, nnz_chunk,
-                                       l2_in_f=l2_in_f)
+    def f_gtd_ray_multi(alphas, coef, px, bd):
+        return obj.poisson_f_gtd_ray_multi(alphas, coef, px, bd, X,
+                                           l2_reg, w_mult, nnz_chunk,
+                                           l2_in_f=l2_in_f)
 
     def bdot(d):
         return obj.poisson_bdot(d, B, X)
 
+    def ray_coef_fn(xc, dc):
+        return obj.ray_coef(xc, dc, Bsum)
+
     # sweep-cost fractions for the achieved-bandwidth accounting: a full
     # COO sweep streams rows+cols+vals (12 B/nnz) plus the k-vector B
-    # gather; a projected trial adds the hoisted bd stream (4 B/nnz)
+    # gather; a ray trial round streams rows+vals+px+bd (16 B/nnz); bdot
+    # is one full sweep plus the bd write
     full_b = 4.0 * k + 12.0
-    trial_frac = 1.0 + 4.0 / full_b
+    trial_frac = 16.0 / full_b
     fgh_weight = 1.0 + 8.0 / full_b  # + w2 and px writes
+    bdot_weight = 1.0 + 4.0 / full_b
 
     def hvp_with(w2):
         def hvp(V):
@@ -738,11 +783,12 @@ def _tncg_update_jit(
     )
 
     x_final, share, out = _tncg_core(
-        x0, has_nnz, X.n_rows, fgh, f_gtd_multi, hvp_with, bdot,
+        x0, has_nnz, X.n_rows, fgh, f_gtd_ray_multi, hvp_with, bdot,
+        ray_coef_fn,
         maxupd=maxupd, max_outer=max_outer, maxcg=maxcg,
         x_prev_for_unchanged=jnp.where(has_nnz[:, None], A, 0.0),
         ftol=ftol, trial_frac=trial_frac, fgh_weight=fgh_weight,
-        ls_cand=ls_cand,
+        bdot_weight=bdot_weight, ls_cand=ls_cand,
     )
     return x_final, share, _stats_dict(out)
 
@@ -835,23 +881,23 @@ def _tncg_update_ell_jit(
     maxcg = _maxcgit(k) if max_cg is None else max(1, int(max_cg))
 
     # l2_in_f: calc_fun_and_grad parity for training, consistent objective
-    # for deep serving solves (see _tncg_update_jit).  want_px=False: the
-    # projected-trial line search never reads the prediction planes, and a
-    # pallas output is a real HBM write XLA cannot eliminate.
+    # for deep serving solves (see _tncg_update_jit).  want_px=True: the
+    # ray line search reads trial predictions px + alpha*pd straight off
+    # the cached planes — each multi-candidate round streams only
+    # px/pd/vals (~1/9 of a full plane sweep at k=50 bf16).
     def fgh(Acur):
         return ell_ops.fgh_ell(Acur, planes, ell, Bsum, l2_reg, w_mult,
-                               l2_in_f=l2_in_f, want_px=False)
+                               l2_in_f=l2_in_f, want_px=True)
 
-    # <B,d> is computed in-register from the same plane block the trial's
-    # prediction dot loads (f_gtd_multi_ell) — no hoisted bdot pass, no
-    # per-trial bd plane stream (bdot_weight=0 below)
-    def f_gtd_multi(alphas, xc, dc, bds):
-        del bds
-        return ell_ops.f_gtd_multi_ell(alphas, xc, dc, planes, ell, Bsum,
-                                       l2_reg, w_mult, l2_in_f=l2_in_f)
+    def f_gtd_ray_multi(alphas, coef, pxs, bds):
+        return ell_ops.f_gtd_ray_multi_ell(alphas, coef, pxs, bds, ell,
+                                           l2_reg, w_mult, l2_in_f=l2_in_f)
 
     def bdot(d):
-        return None
+        return ell_ops.bdot_ell(d, planes, ell)
+
+    def ray_coef_fn(xc, dc):
+        return obj.ray_coef(xc, dc, Bsum)
 
     def hvp_with(w2s):
         def hvp(V):
@@ -867,21 +913,24 @@ def _tncg_update_ell_jit(
     )
 
     # sweep-cost fractions for the achieved-bandwidth accounting: a full
-    # plane sweep streams k*itemsize + 4 (vals) bytes per slot; projected
-    # trials compute <B,d> in-register (no bd plane, no bdot pass)
+    # plane sweep streams k*itemsize + 4 (vals) bytes per slot; a ray
+    # trial round streams px/pd/vals (3 x f32); bdot reads the planes once
+    # per line search and writes the pd plane; fgh adds w2 + px writes
     it = planes[0].dtype.itemsize if planes else A_perm.dtype.itemsize
     full_b = float(k * it + 4)
-    trial_frac = 1.0
-    fgh_weight = 1.0 + 4.0 / full_b  # + the w2 plane write
+    trial_frac = 12.0 / full_b
+    fgh_weight = 1.0 + 8.0 / full_b
+    bdot_weight = 1.0 + 4.0 / full_b
 
     x_final, share, out = _tncg_core(
-        x0, has_nnz, ell.n_rows, fgh, f_gtd_multi, hvp_with, bdot,
+        x0, has_nnz, ell.n_rows, fgh, f_gtd_ray_multi, hvp_with, bdot,
+        ray_coef_fn,
         maxupd=maxupd, max_outer=max_outer, maxcg=maxcg,
         x_prev_for_unchanged=jnp.where(has_nnz[:, None], A_perm, 0.0),
         true_row_mask=has_nnz,  # ELL slots with nnz are exactly the true rows
         active_mask=active_mask,
         ftol=ftol, trial_frac=trial_frac, fgh_weight=fgh_weight,
-        bdot_weight=0.0, ls_cand=ls_cand,
+        bdot_weight=bdot_weight, ls_cand=ls_cand,
     )
     return x_final, share, _stats_dict(out)
 

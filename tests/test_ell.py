@@ -326,6 +326,22 @@ def test_ray_trial_matches_full_eval(rng):
     np.testing.assert_allclose(np.asarray(gtd_ray), np.asarray(gtd_full),
                                rtol=1e-3, atol=1e-1)
 
+    # the TNCG multi-candidate round (f AND gtd at C steps in one stream)
+    # must reproduce the single-candidate ray per candidate
+    alphas4 = jnp.stack([0.25 * alpha, 0.5 * alpha, alpha,
+                         jnp.minimum(2.0 * alpha, jnp.asarray(
+                             np.where(np.isfinite(spe), 0.95 * spe,
+                                      2.0 * alpha_np).astype(np.float32)))])
+    fm, gm = ell_ops.f_gtd_ray_multi_ell(alphas4, coef, pxs, bds, ell, 1e2)
+    for c in range(4):
+        f1, g1 = ell_ops.f_gtd_ray_ell(alphas4[c], coef, pxs, bds, ell, 1e2)
+        fmc, f1c = np.asarray(fm[c]), np.asarray(f1)
+        mc = np.isfinite(f1c)
+        assert np.array_equal(mc, np.isfinite(fmc))
+        np.testing.assert_allclose(fmc[mc], f1c[mc], rtol=1e-5, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(gm[c]), np.asarray(g1),
+                                   rtol=1e-5, atol=1e-3)
+
 
 def test_pallas_interpret_parity(rng, monkeypatch):
     """Pallas fused kernels (interpret mode) vs the jnp bucket path."""
