@@ -483,6 +483,7 @@ def _tncg_core(
                     searching0 & ~acc & (a_c > lo) & (a_c < hi)
                     & (nfe < maxupd)
                 )
+                nfe = nfe + usable.astype(jnp.int32)
                 suff = jnp.isfinite(f_tc) & (
                     f_tc <= f + LS_RMU * a_c * dginit
                 )
@@ -507,14 +508,19 @@ def _tncg_core(
                 # point in the same Hermite-minimizer family as getptc's
                 ok = wolfe & ((~has_hi0) | (c == 0)) if C > 1 else wolfe
                 ok = ok | newcon
-                # budget accounting is per ROUND, not per candidate: the
-                # round's C trials ride ONE plane sweep, so the batched
-                # work unit maxupd bounds is the round (counting every
-                # candidate burned the budget ~C-fold faster and
-                # truncated small-maxupd solves 0.4-2.4% worse in LL,
-                # layout-sensitively — the round-4 ELL-vs-COO band break)
-                if c == 0:
-                    nfe = nfe + usable.astype(jnp.int32)
+                # budget accounting is per EVALUATED TRIAL, the
+                # reference's maxnfeval semantics (getptc charges every
+                # function call against maxnfeval, tnc.c:1750-1772):
+                # each usable candidate in the round counts one feval,
+                # and candidates after an acceptance are not usable so
+                # they don't count.  A per-ROUND accounting (1 feval per
+                # C-candidate round) was tried and REVERTED: it hands
+                # every row ~C x the reference's trial budget, and the
+                # >90%-sparse item side — whose rows activate ONE bound
+                # per outer iteration by design (the ray/newcon rate) —
+                # then grinds ~2x the outer iterations the reference's
+                # budget would allow before termination (25%-scale warm
+                # fit 54.9 s vs the sequential ray's ~28 s; quality flat)
                 take = ok & ~acc  # first-ok in processing order
                 a_acc = jnp.where(take, a_c, a_acc)
                 f_acc = jnp.where(take, f_tc, f_acc)

@@ -27,6 +27,11 @@ def main():
     ap.add_argument("--config", default="warm", choices=["warm", "sparse"])
     ap.add_argument("--compact-tail", type=int, default=1)
     ap.add_argument("--tag", default="")
+    ap.add_argument("--fresh", action="store_true",
+                    help="clock-derived init: defeats the tunnel's "
+                         "cross-process execution memoization so the wall "
+                         "time is real (quality then varies slightly "
+                         "with the init)")
     args = ap.parse_args()
 
     import scipy.sparse as sp
@@ -55,7 +60,8 @@ def main():
     Xtr, Xte, _ = train_test_split(X, test_fraction=0.25,
                                    users_test=10_000, seed=3)
 
-    nprng = np.random.default_rng(11)
+    init_seed = (time.time_ns() % (2**31)) if args.fresh else 11
+    nprng = np.random.default_rng(init_seed)
     A0 = 0.3 + nprng.uniform(0.0, 0.01, size=(n_users, K))
     B0 = 0.3 + nprng.uniform(0.0, 0.01, size=(n_items, K))
 
