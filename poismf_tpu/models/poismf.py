@@ -439,6 +439,12 @@ class PoisMF:
         host bool mask + per-user Python loop, which at the bench catalog
         cost ~1.6 GB of host memory and a 10k-iteration loop for 10k users
         (the reference excludes per query in C, topN.c:155-169)."""
+        if u.shape[0] == 0:
+            # the chunk loop below never runs on an empty query set and
+            # np.concatenate([]) would raise; match the dense-mask and
+            # exclude_seen=False paths, which return empty results
+            return (np.zeros((0, n), dtype=np.float32),
+                    np.zeros((0, n), dtype=np.int32))
         indptr, indices = self._user_items_csr()
         indptr = np.asarray(indptr)
         indices = np.asarray(indices)

@@ -568,8 +568,8 @@ def _bucket_data_fgh(b: EllBucket, bg, A_T, w_mult: float,
     jnp fallback elsewhere.  Returns (neg_llk [R], grad [R,k], diag [R,k],
     w2 [P,R], pred [P,R] or None).  ``pred`` is the raw (unfloored)
     prediction plane consumed by the ray line search (see f_gtd_ray_ell);
-    ``want_pred=False`` skips its HBM write (TNCG's projected-trial search
-    never reads it)."""
+    ``want_pred=False`` skips its HBM write (only CG's fused non-ray
+    mode passes False; both ray solvers read it)."""
     import jax.numpy as jnp
 
     mode = _pallas_state()
@@ -720,7 +720,9 @@ def f_gtd_fused_ell(
 ):
     """Objective and directional derivative ``g(trial) . d`` per row in one
     plane sweep with ``<B, d>`` computed in-register — the bd-plane-free
-    twin of :func:`f_gtd_ell`.  The kernels are HBM-bound, so the second
+    twin of :func:`f_gtd_ell`.  RETAINED FOR TESTS/REFERENCE: since the
+    round-4 ray-search restore no solver calls this (the ray kernels read
+    cached px/pd planes instead); the kernel-parity tests keep it honest.  The kernels are HBM-bound, so the second
     k-deep dot per slot is free while the hoisted-bd scheme cost a full
     extra plane sweep per line search (bdot) plus 4 B/slot per trial."""
     import jax.numpy as jnp
@@ -753,8 +755,11 @@ def f_gtd_multi_ell(
     l2_in_f: bool = True,
 ):
     """COMPLETE (f, g(trial).d) at C projected-trial steps
-    ``max(0, x + alphas[c]*d)`` in ONE plane stream per bucket — the TNCG
-    line search's multi-candidate round (see
+    ``max(0, x + alphas[c]*d)`` in ONE plane stream per bucket — the
+    round-3.5 projected-trial TNCG line search's multi-candidate round,
+    RETAINED FOR TESTS/REFERENCE only: the projected search was reverted
+    on quality evidence (see solvers/tncg.py module doc) and no solver
+    reaches this kernel anymore (see
     pallas_kernels.f_gtd_multi_bucket).  ``alphas`` [C, n_rows_ell] ->
     (f [C, n_rows_ell], gtd [C, n_rows_ell]); linear/l2/Bsum terms folded
     in-kernel on the primary buckets (extension buckets contribute data
@@ -1044,8 +1049,9 @@ def fgh_ell(
     (shared) or [n_rows_pad, k] (per-row, ALREADY permuted).  Returns
     ``(f [R], g [R,k], w2 (per-bucket [P,R_b] tuple), diag [R,k],
     px (per-bucket raw prediction planes, or None))`` — ``px`` feeds ray
-    line searches; ``want_px=False`` (TNCG, whose projected-trial search
-    never reads it) skips the plane's HBM write entirely.
+    line searches (both TNCG and CG pass ``want_px=True``); ``want_px=
+    False`` (CG's fused non-ray mode) skips the plane's HBM write
+    entirely.
 
     Same math as :func:`poismf_tpu.ops.objective.poisson_fgh` (see the
     reference's calc_fun_and_grad, poismf.c:242-273), reorganized so every

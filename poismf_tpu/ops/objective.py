@@ -342,7 +342,8 @@ def poisson_f_gtd_multi(
     """COMPLETE (f, g(trial).d) at C PROJECTED trial steps
     ``max(0, x + alphas[c]*d)`` in one pass over the nnz stream — the
     flat-COO analog of :func:`poismf_tpu.ops.ell.f_gtd_multi_ell` (the
-    TNCG line search's multi-candidate round).  The x/D/B row gathers
+    reverted round-3.5 projected-trial TNCG search's multi-candidate
+    round — RETAINED FOR TESTS/REFERENCE, no solver reaches it).  The x/D/B row gathers
     (the dominant traffic, ~3k floats per edge) are shared across the C
     candidates; each candidate adds only its own in-register dot/log
     chain.  ``alphas`` [C, R_pad] -> (f [C, R_pad], gtd [C, R_pad]).

@@ -596,6 +596,14 @@ def _run_poismf_ell(
                 )
             new = _compact_scatter(target_p, out_c, compact.perm,
                                    compact.row_nnz_perm)
+            # the reference memsets zero-nnz rows every half-update
+            # (poismf.c:166-168, 308-311).  On the ELL layout this is
+            # structurally guaranteed today — zero-nnz rows belong to no
+            # bucket and map to the zero tail via inv_perm — but the
+            # compact scatter writes only SELECTED rows, so keep the
+            # invariant explicit in case zero-nnz slots ever enter ELL
+            # space (ADVICE r4; defensive, costs one [R,k] select)
+            new = jnp.where((ell.row_nnz_perm > 0)[:, None], new, 0.0)
             return new, False
         from .solvers.tncg import tncg_update_ell
 

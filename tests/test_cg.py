@@ -296,3 +296,58 @@ def test_cg_probe_init_matches_plain_call():
                              **kw)
     np.testing.assert_array_equal(np.asarray(out_plain),
                                   np.asarray(out_init))
+
+
+def test_cg_compact_zeroes_empty_rows():
+    """The reference memsets zero-nnz rows every half-update (poismf.c:
+    166-168, 308-311).  On the ELL layout empty rows are structurally
+    zeroed (they belong to no bucket; inv_perm maps them to the zero
+    tail), and the CG compact path additionally re-asserts the invariant
+    after its scatter (ADVICE r4).  This is the end-to-end contract test:
+    a poisoned empty row must come back exactly zero from a warm refit
+    whose first A-half runs compact."""
+    rng = np.random.default_rng(9)
+    n_u, n_i, nnz = 300, 120, 5000
+    rows = rng.integers(1, n_u, nnz).astype(np.int32)  # user 0 stays empty
+    cols = rng.integers(0, n_i, nnz).astype(np.int32)
+    vals = (rng.poisson(2.0, nnz) + 1).astype(np.float32)
+    by_user, by_item = build_both_orientations(rows, cols, vals, n_u, n_i)
+    A0 = initialize_factors(n_u, by_user.n_rows_pad, 12,
+                            np.random.default_rng(1))
+    B0 = initialize_factors(n_i, by_item.n_rows_pad, 12,
+                            np.random.default_rng(2))
+    p = FitParams(k=12, method="cg", niter=6, compact_tail=True)
+    A1, B1, st = run_poismf(A0, B0, by_user, by_item, p)
+    assert st == 0
+    # poison the empty row with stale values, refit warm: the first
+    # A-half should select a compact plan (rows converged) and the empty
+    # row must come back exactly zero
+    A1 = np.array(A1)  # writable host copy
+    A1[0] = 0.5
+    A2, _, st2 = run_poismf(jnp.asarray(A1), B1, by_user, by_item, p)
+    assert st2 == 0
+    np.testing.assert_array_equal(np.asarray(A2)[0], 0.0)
+
+
+def test_topn_batched_empty_users():
+    """topN_batched on an empty user array returns empty results on every
+    path (exclude_seen chunking used to raise on np.concatenate([]))."""
+    import pandas as pd
+
+    from poismf_tpu.models.poismf import PoisMF
+
+    rng = np.random.default_rng(3)
+    rows, cols, vals = synth_counts(rng, 50, 20, 0.2)
+    df = pd.DataFrame({
+        "UserId": [f"u{r}" for r in rows],
+        "ItemId": [f"i{c}" for c in cols],
+        "Count": vals,
+    })
+    model = PoisMF(k=4, method="cg", l2_reg=1.0, niter=2, maxupd=5)
+    model.fit(df)
+    empty = np.array([], dtype=object)
+    for excl in (False, True):
+        out, scores = model.topN_batched(empty, n=3, exclude_seen=excl,
+                                         output_score=True)
+        assert out.shape == (0, 3)
+        assert scores.shape == (0, 3)
