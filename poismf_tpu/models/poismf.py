@@ -262,20 +262,32 @@ class PoisMF:
 
     # --------------------------------------------------------------- mapping
 
+    @staticmethod
+    def _map_through(ids: np.ndarray, dct: dict, mapping) -> np.ndarray:
+        """Id remap via the produced dict (O(1) per id — the reference's
+        fast path when produce_dicts=True, poismf/__init__.py:497-500) or
+        a pd.Index when no dict was built; unknown ids -> -1 either way."""
+        if dct:
+            return np.fromiter(
+                (dct.get(u, -1) for u in ids), dtype=np.int64,
+                count=len(ids),
+            )
+        import pandas as pd
+
+        return pd.Index(mapping).get_indexer(ids)
+
     def _map_users(self, user) -> np.ndarray:
         users = _as_1d(user) if not np.isscalar(user) else np.array([user])
         if self.reindex and len(self.user_mapping_):
-            import pandas as pd
-
-            return pd.Index(self.user_mapping_).get_indexer(users)
+            return self._map_through(users, self.user_dict_,
+                                     self.user_mapping_)
         return users.astype(np.int64)
 
     def _map_items(self, item) -> np.ndarray:
         items = _as_1d(item) if not np.isscalar(item) else np.array([item])
         if self.reindex and len(self.item_mapping_):
-            import pandas as pd
-
-            return pd.Index(self.item_mapping_).get_indexer(items)
+            return self._map_through(items, self.item_dict_,
+                                     self.item_mapping_)
         return items.astype(np.int64)
 
     # --------------------------------------------------------------- predict

@@ -148,6 +148,27 @@ def test_produce_dicts():
     assert len(model.user_dict_) == model.nusers
     u = df["UserId"].iloc[0]
     assert model.user_dict_[u] >= 0
+    # the produced dicts drive the remap fast path (the reference's O(1)
+    # lookup, poismf/__init__.py:497-500) and must agree with the
+    # pd.Index path used when no dicts were built — incl. unknown -> -1
+    model_nd = PoisMF(k=4, method="cg", l2_reg=1.0, niter=3, maxupd=5,
+                      produce_dicts=False)
+    model_nd.fit(df)
+    assert not model_nd.user_dict_
+    queries = np.concatenate([df["UserId"].unique()[:5],
+                              np.array(["nope"], dtype=object)])
+    np.testing.assert_array_equal(model._map_users(queries),
+                                  model_nd._map_users(queries))
+    iq = np.concatenate([df["ItemId"].unique()[:5],
+                         np.array(["nope"], dtype=object)])
+    np.testing.assert_array_equal(model._map_items(iq),
+                                  model_nd._map_items(iq))
+    assert model._map_users(queries)[-1] == -1
+    # end-to-end: predict/topN agree across the two remap paths
+    np.testing.assert_allclose(
+        model.predict(df["UserId"].iloc[:4], df["ItemId"].iloc[:4]),
+        model_nd.predict(df["UserId"].iloc[:4], df["ItemId"].iloc[:4]),
+        rtol=1e-5)
 
 
 def test_eval_llk_method(fitted):
