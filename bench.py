@@ -258,6 +258,8 @@ def run_config(name, by_user, by_item, n_users, n_items, mesh=None,
                 # append a second full set of traffic entries (the repeated
                 # work is memoized server-side, so no real bytes moved)
                 train_mod.PASS_STATS = []
+                if name == "cg":
+                    train_mod.CG_STATS = []
             A, B = dispatch_fit()
             try:
                 fp = float(fetch_host(fingerprint(A, B), give_up=attempt < 2))
@@ -269,6 +271,8 @@ def run_config(name, by_user, by_item, n_users, n_items, mesh=None,
         dt = time.time() - t0
         stats = train_mod.PASS_STATS
         train_mod.PASS_STATS = None
+        cg_stats = train_mod.CG_STATS
+        train_mod.CG_STATS = None
         fit_bytes = _drain_pass_stats(stats) if stats else None
         # init fingerprint (outside the timed window): distinct per seed by
         # construction, so collisions prove the runs solved the SAME problem
@@ -276,12 +280,12 @@ def run_config(name, by_user, by_item, n_users, n_items, mesh=None,
         # different inits to the same fixed point, so fp alone is not a
         # distinctness witness there)
         fp0 = float(fetch_host(fingerprint_init(A0, B0)))
-        return dt, A, B, A0, B0, (fp0, fp), fit_bytes
+        return dt, A, B, A0, B0, (fp0, fp), fit_bytes, cg_stats
 
     base = os.environ.get("POISMF_BENCH_SEED")
     base = (int(base) if base
             else int(time.time_ns() % np.iinfo(np.int32).max) | 1)
-    warm_s, _, _, _, _, warm_fp, _ = fresh_fit(base)
+    warm_s, _, _, _, _, warm_fp, _, _ = fresh_fit(base)
     print(f"# [{name}] warmup fit (incl. compile): {warm_s:.1f}s",
           file=sys.stderr, flush=True)
 
@@ -306,10 +310,12 @@ def run_config(name, by_user, by_item, n_users, n_items, mesh=None,
         os.environ["POISMF_ADAPTIVE_PLAN"] = "0"
 
     times, fps, gbss = [], [warm_fp], []
+    cg_stats_last = None
     A = B = A0 = B0 = None
     try:
         for r in range(N_REPEATS):
-            fit_s, A, B, A0, B0, fp, fit_bytes = fresh_fit(base + 1 + r)
+            (fit_s, A, B, A0, B0, fp, fit_bytes,
+             cg_stats_last) = fresh_fit(base + 1 + r)
             times.append(fit_s)
             fps.append(fp)
             if fit_bytes:
@@ -342,6 +348,23 @@ def run_config(name, by_user, by_item, n_users, n_items, mesh=None,
     if gbss:
         res["achieved_gbs"] = round(float(np.median(gbss)), 1)
         res["bw_frac"] = round(res["achieved_gbs"] / PEAK_GBS, 4)
+    if cg_stats_last:
+        # compaction-engagement evidence for the cg row (one entry per
+        # half-update of the LAST timed fit): how many halves ran the
+        # entry probe, how many landed a compact plan (by divisor), and
+        # the mean live-tail share at entry — so a cg regression can be
+        # attributed to compaction (not) engaging vs tunnel variance
+        probed = [e for e in cg_stats_last if e.get("probed")]
+        engaged = [e for e in probed if e["denom"] is not None]
+        res["cg_halves"] = len(cg_stats_last)
+        res["cg_probed"] = len(probed)
+        res["cg_compacted"] = len(engaged)
+        if probed:
+            res["cg_active_share_mean"] = round(float(np.mean(
+                [e["active"] / max(e["rows"], 1) for e in probed])), 4)
+        denoms = sorted({str(e["denom"]) for e in engaged})
+        if denoms:
+            res["cg_plan_denoms"] = ",".join(denoms)
     if not fp_ok:
         print(f"# [{name}] WARNING: fingerprints not distinct/finite "
               f"({fps}) — timing is NOT credible (memoized execution?)",

@@ -46,15 +46,40 @@ TILE_P = 16
 TILE_BYTES = 2 << 20
 
 
+def _div_tile(Rb: int, cap: int) -> int:
+    """Largest multiple of 128 that DIVIDES Rb and is <= cap.  Rb is a
+    multiple of 128 but not a power of two (bucket rows are padded to
+    ROW_TILE=128), so the old halving search (1024 -> 512 -> ...) missed
+    divisors like 896 = 7*128 and collapsed tr to 128 on most real
+    buckets — e.g. the bench item-side P=2048 x Rb=896 head (31% of all
+    slots) ran a (16, 128)-block grid of 896 steps per fgh sweep at
+    ~144 GB/s (measured, scripts/tncg_decomp.py) because grid-step
+    overhead, not bandwidth, was the cost."""
+    m = Rb // 128
+    best = 1
+    d = 2
+    while d * 128 <= cap:
+        if m % d == 0:
+            best = d
+        d += 1
+    return best * 128
+
+
 def _tiles(P: int, Rb: int, k: int, itemsize: int = 4) -> Tuple[int, int]:
     # P is a power of two; Rb a multiple of 128 — tile sizes must DIVIDE
-    # the dims (grid uses exact division).
+    # the dims (grid uses exact division).  Policy: largest divisor tr
+    # within the byte budget, then GROW tp toward P while the block still
+    # fits — small-Rb buckets otherwise degenerate to tiny blocks whose
+    # per-grid-step overhead dominates the stream (the decomp probe
+    # measured the real item-side fgh at 144 GB/s vs 241+ at ideal
+    # shapes; see _div_tile).
     tp = min(P, TILE_P)
-    tr = TILE_R
-    while Rb % tr:
-        tr //= 2
+    cap = TILE_R
+    tr = _div_tile(Rb, cap)
     while k * tp * tr * itemsize > TILE_BYTES and tr > 128:
-        tr //= 2
+        tr = _div_tile(Rb, tr - 128)
+    while tp < P and k * (2 * tp) * tr * itemsize <= TILE_BYTES:
+        tp *= 2
     return tp, tr
 
 
@@ -580,12 +605,19 @@ def f_gtd_multi_bucket(bg, vals, x_t, d_t, alphas, bsum_t, l2_reg,
 
 
 def _ray_tiles(P: int, Rb: int) -> Tuple[int, int]:
+    # Ray rounds stream only px/pd/vals (3 x f32, no k axis), so blocks
+    # are tiny unless tp grows aggressively: the decomp probe measured the
+    # multi-candidate ray round at 31 GB/s (2.3 ms for 73 MB!) on the real
+    # bench buckets under the old (tp<=64, tr-halving) policy — pure
+    # grid-step overhead, and the single largest wall item of the whole
+    # tncg fit (~9.6 LS rounds per outer iteration).  Same divisor-then-
+    # grow policy as _tiles.
     tp = min(P, 64)
-    tr = TILE_R
-    while Rb % tr:
-        tr //= 2
+    tr = _div_tile(Rb, TILE_R)
     while 3 * tp * tr * 4 > TILE_BYTES and tr > 128:
-        tr //= 2
+        tr = _div_tile(Rb, tr - 128)
+    while tp < P and 3 * (2 * tp) * tr * 4 <= TILE_BYTES:
+        tp *= 2
     return tp, tr
 
 

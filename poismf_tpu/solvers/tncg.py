@@ -440,6 +440,32 @@ def _tncg_core(
                     [a_brack]
                     + [lo + span * ((j + 1.0) / C) for j in range(C - 1)]
                 )
+                # POISONED bracket (f_hi = inf/nan: the "upper end" is an
+                # infeasibility cap from an overshooting trial, not a real
+                # getptc bracket): even subdivisions shrink such spans only
+                # C-fold per round, and a trial whose alpha0 overshot by
+                # 1e5x ground ~log4(1e5) = 8+ whole-batch rounds before any
+                # candidate went finite (the measured ~9.6 LS rounds per
+                # outer iteration at bench scale — the single largest wall
+                # item of the tncg fit).  Probe a DESCENDING GEOMETRIC
+                # ladder hi/4^(j+1) instead: an all-poisoned round then
+                # folds the cap 4^C-fold, and the first finite too-short
+                # candidate re-establishes a true bracket for the cubic to
+                # resume on.  The c==0-only acceptance gate still applies
+                # — c0 here plays the sequential search's own
+                # (bisection-fallback) candidate, placed geometrically.
+                # (guard: once lo >= hi/4 every geometric rung falls at or
+                # below lo — unusable — and the round would stall; the even
+                # subdivisions handle such tight poisoned spans fine)
+                poisoned = (
+                    has_hi & ~jnp.isfinite(f_hi) & (0.25 * hi > lo)
+                )
+                geo = jnp.stack(
+                    [hi * (0.25 ** (j + 1.0)) for j in range(C)]
+                )
+                cands_brack = jnp.where(
+                    poisoned[None, :], geo, cands_brack
+                )
                 # unbracketed rows probe the extrapolation ladder CLAMPED
                 # at spe (the reference's stepMax): rungs past the clamp
                 # collapse onto spe and the per-row fold skips the

@@ -103,14 +103,16 @@ def fgh_step(ops, i, x):
     f, g, w2, diag, px = ell_ops.fgh_ell(x, ops["planes"], ops["ell"],
                                          ops["Bsum"], L2, 1.0,
                                          l2_in_f=False, want_px=True)
-    return x + 1e-6 * g + 1e-9 * f[:, None]
+    return jnp.maximum(x + 1e-9 * jnp.tanh(g)
+                   + 1e-12 * jnp.tanh(f)[:, None], 1e-3)
 
 
 def fgh_nopx_step(ops, i, x):
     f, g, w2, diag, px = ell_ops.fgh_ell(x, ops["planes"], ops["ell"],
                                          ops["Bsum"], L2, 1.0,
                                          l2_in_f=False, want_px=False)
-    return x + 1e-6 * g + 1e-9 * f[:, None]
+    return jnp.maximum(x + 1e-9 * jnp.tanh(g)
+                   + 1e-12 * jnp.tanh(f)[:, None], 1e-3)
 
 
 _, _, w2s0, _, px0 = ell_ops.fgh_ell(target0, planes, ell, Bsum, L2, 1.0,
@@ -119,13 +121,13 @@ jax.block_until_ready(px0)
 
 
 def hvp_step(ops, i, x):
-    return x + 1e-6 * ell_ops.hvp_ell(x, ops["planes"], ops["ell"],
-                                      ops["w2s0"], L2)
+    hv = ell_ops.hvp_ell(x, ops["planes"], ops["ell"], ops["w2s0"], L2)
+    return jnp.maximum(x + 1e-9 * jnp.tanh(hv), 1e-3)
 
 
 def bdot_step(ops, i, x):
     bds = ell_ops.bdot_ell(x, ops["planes"], ops["ell"])
-    return x + 1e-9 * bds[0][0, 0]
+    return jnp.maximum(x + 1e-12 * jnp.tanh(bds[0][0, 0]), 1e-3)
 
 
 bds0 = ell_ops.bdot_ell(target0, planes, ell)
@@ -136,21 +138,26 @@ coef0 = obj.ray_coef(target0, target0, Bsum)
 
 
 def ray4_step(ops, i, x):
-    al = 0.1 + 0.001 * jnp.stack([x[:, 0], x[:, 1], x[:, 2], x[:, 3]])
+    al = 0.1 + 0.001 * jnp.tanh(
+        jnp.stack([x[:, 0], x[:, 1], x[:, 2], x[:, 3]]))
     f_c, g_c = ell_ops.f_gtd_ray_multi_ell(al.astype(x.dtype), ops["coef0"],
                                            ops["px0"], ops["bds0"],
                                            ops["ell"], L2, 1.0,
                                            l2_in_f=False)
-    return x + 1e-9 * (f_c[0][:, None] + g_c[0][:, None])
+    return jnp.maximum(
+        x + 1e-12 * jnp.tanh(f_c[0])[:, None]
+        + 1e-12 * jnp.tanh(g_c[0])[:, None], 1e-3)
 
 
 def ray1_step(ops, i, x):
-    al = 0.1 + 0.001 * x[:, :1].T
+    al = 0.1 + 0.001 * jnp.tanh(x[:, :1].T)
     f_c, g_c = ell_ops.f_gtd_ray_multi_ell(al.astype(x.dtype), ops["coef0"],
                                            ops["px0"], ops["bds0"],
                                            ops["ell"], L2, 1.0,
                                            l2_in_f=False)
-    return x + 1e-9 * (f_c[0][:, None] + g_c[0][:, None])
+    return jnp.maximum(
+        x + 1e-12 * jnp.tanh(f_c[0])[:, None]
+        + 1e-12 * jnp.tanh(g_c[0])[:, None], 1e-3)
 
 
 N = 20
@@ -176,7 +183,8 @@ def solver_wall(max_outer, max_cg, ls_cand, n_rep=2):
             l2_reg=L2, w_mult=1.0, maxupd=750, l2_in_f=False,
             max_cg=max_cg, ls_cand=ls_cand,
         )
-        return out, st["passes"], st["ls_rounds"], st["hvp_rounds"], st["outer_iters"]
+        return (out, st["passes"], st["ls_rounds"], st["hvp_rounds"],
+                st["outer_iters"], st["dbg_search"], st["dbg_brack"])
 
     out = run(target0 * 1.0001)
     jax.block_until_ready(out[0])  # compile
@@ -185,15 +193,20 @@ def solver_wall(max_outer, max_cg, ls_cand, n_rep=2):
     s = fetch(jnp.sum(out[0] ** 2))
     dt = time.time() - t0
     assert np.isfinite(s)
-    return dt, fetch(out[1]), fetch(out[2]), fetch(out[3]), fetch(out[4])
+    return (dt, fetch(out[1]), fetch(out[2]), fetch(out[3]), fetch(out[4]),
+            np.asarray(jax.device_get(out[5])),
+            np.asarray(jax.device_get(out[6])))
 
 
 for mo in (1, 3, 5):
-    dt, passes, ls, hvps, its = solver_wall(mo, 3, 4)
+    dt, passes, ls, hvps, its, dbg_s, dbg_b = solver_wall(mo, 3, 4)
     print(f"   solver max_outer={mo}: {dt:6.2f} s  passes={passes:6.1f} "
           f"ls_rounds={ls:.0f} hvp={hvps:.0f} outer={its:.0f} "
           f"-> {passes*sweep_gb/dt:6.1f} GB/s accounted", flush=True)
+    print(f"      last-outer LS tail: searching={dbg_s.tolist()}",
+          flush=True)
+    print(f"                bracketed={dbg_b.tolist()}", flush=True)
 for lsc in (1, 2):
-    dt, passes, ls, hvps, its = solver_wall(3, 3, lsc)
+    dt, passes, ls, hvps, its, _, _ = solver_wall(3, 3, lsc)
     print(f"   solver ls_cand={lsc} mo=3: {dt:6.2f} s  passes={passes:6.1f} "
           f"ls_rounds={ls:.0f} hvp={hvps:.0f} outer={its:.0f}", flush=True)

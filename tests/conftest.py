@@ -46,3 +46,14 @@ def synth_counts(rng, n_users=100, n_items=40, density=0.1):
 @pytest.fixture
 def small_problem(rng):
     return synth_counts(rng)
+
+
+def pytest_collection_modifyitems(config, items):
+    """Two-tier suite: everything not explicitly @pytest.mark.slow gets the
+    ``quick`` marker, so ``-m quick`` runs the fast tier (< ~3 min — drops
+    the golden-parity fits against the compiled reference C and the
+    quality-harness fits, which dominate the ~30 min full-suite wall on
+    this 1-core host) and the default invocation still runs everything."""
+    for item in items:
+        if "slow" not in item.keywords:
+            item.add_marker(pytest.mark.quick)

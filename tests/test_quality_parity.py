@@ -20,10 +20,15 @@ from poismf_tpu.train import FitParams, run_poismf, initialize_factors
 from poismf_tpu.utils.data import train_test_split
 from poismf_tpu.utils.metrics import ranking_metrics
 
-pytestmark = pytest.mark.skipif(
-    ref_c.load() is None,
-    reason="reference C library unavailable (no gcc or /root/reference)",
-)
+pytestmark = [
+    pytest.mark.skipif(
+        ref_c.load() is None,
+        reason="reference C library unavailable (no gcc or /root/reference)",
+    ),
+    # slow tier: these compile and fit the reference C in-process
+    # (minutes each on this host) — excluded from `-m quick`
+    pytest.mark.slow,
+]
 
 N_USERS, N_ITEMS, K = 1500, 600, 10
 

@@ -22,10 +22,15 @@ from poismf_tpu.sparse import build_both_orientations
 from poismf_tpu.train import FitParams, run_poismf
 from poismf_tpu.ops.ell import permute_rows  # noqa: F401 (import check)
 
-pytestmark = pytest.mark.skipif(
-    ref_c.load() is None,
-    reason="reference C library unavailable (no gcc or /root/reference)",
-)
+pytestmark = [
+    pytest.mark.skipif(
+        ref_c.load() is None,
+        reason="reference C library unavailable (no gcc or /root/reference)",
+    ),
+    # slow tier: these compile and fit the reference C in-process
+    # (minutes each on this host) — excluded from `-m quick`
+    pytest.mark.slow,
+]
 
 N_USERS, N_ITEMS, K = 100, 250, 10
 NITER = 6

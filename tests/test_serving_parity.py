@@ -23,10 +23,15 @@ from poismf_tpu import serve
 from poismf_tpu.sparse import build_both_orientations, build_counts
 from poismf_tpu.train import FitParams, initialize_factors, run_poismf
 
-pytestmark = pytest.mark.skipif(
-    ref_c.load() is None,
-    reason="reference C library unavailable (no gcc or /root/reference)",
-)
+pytestmark = [
+    pytest.mark.skipif(
+        ref_c.load() is None,
+        reason="reference C library unavailable (no gcc or /root/reference)",
+    ),
+    # slow tier: these compile and fit the reference C in-process
+    # (minutes each on this host) — excluded from `-m quick`
+    pytest.mark.slow,
+]
 
 N_USERS, N_ITEMS, K = 300, 120, 8
 
