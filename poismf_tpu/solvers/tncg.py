@@ -336,6 +336,23 @@ def _tncg_core(
         coef = ray_coef_fn(x, d)
         px = s["px"]
 
+        # getptc's own collapse tolerances (linearSearch, tnc.c:1714-1722):
+        # RELATIVE to the step scale — reltol = rteps*(||x||+1)/||p||,
+        # abstol = eps*(1+|f|)/|g.d|, smallest allowed spacing
+        # tnytol = eps*(||x||+1)/||p||.  In f32 rteps = 3.5e-4, so a
+        # grinding bracket collapses after ~4-5 4x folds; the previous
+        # 16*eps*(1+|f|)/slope rule was ~1e-6-relative and made EVERY
+        # outer iteration pay ~9.5 whole-batch LS rounds (the max over
+        # rows; measured at bench scale) — systematically ~2x deeper than
+        # the reference's own search.
+        xnorm = jnp.sqrt(jnp.sum(x * x, axis=1))
+        pnorm = jnp.sqrt(dnorm) + eps_f
+        reltol0 = rteps * (xnorm + 1.0) / pnorm
+        abstol0 = eps_f * (1.0 + jnp.abs(f)) / (
+            jnp.abs(dginit) + eps_f
+        )
+        tnytol = eps_f * (xnorm + 1.0) / pnorm
+
         C = int(ls_cand)
         # whole-batch LS round cap: MAX_LS rounds regardless of C — the
         # budget unit is the ROUND (nfe counts 1 per round, matching the
@@ -374,6 +391,8 @@ def _tncg_core(
             f_new=f,
             a_best=jnp.zeros((R,), dtype=dtype),
             f_best=f,
+            reltol=reltol0.astype(dtype),
+            abstol=abstol0.astype(dtype),
             searching=active,
             nfeval=nfeval,
             t=jnp.zeros((), dtype=jnp.int32),
@@ -570,20 +589,33 @@ def _tncg_core(
             f_new = jnp.where(acc, f_acc, t["f_new"])
             searching = searching0 & ~acc & (nfe < maxupd)
             has_hi = jnp.isfinite(hi)
-            # getptc terminates when the bracket collapses (its tol test,
-            # tnc.c:1901-1913) — batched, a single numerically-dead row
-            # otherwise spins the WHOLE batch to the round cap every
-            # outer iteration (observed: one row x 16 rounds).  "Dead" =
-            # the achievable f-variation across the bracket (span x
-            # steepest end slope) is below f32 resolution of f — any
-            # "Wolfe point" found there would be noise.  The row falls
-            # through to the best-decrease point or LSFAIL exactly like
-            # the reference's collapsed getptc.
-            dead = has_hi & (
-                (hi - lo) * jnp.maximum(jnp.abs(g_lo), jnp.abs(g_hi))
-                <= 16.0 * eps_f * (1.0 + jnp.abs(f))
+            # getptc's convergence check (tnc.c:1968-1997), batched: the
+            # bracket has collapsed to within twice the tolerance
+            # tol = reltol*xmin + abstol.  A collapsed row that FOUND a
+            # decrease terminates at its best point (GETPTC_OK with
+            # xmin != 0 — our existing best-decrease fallback); a
+            # collapsed row with NO decrease fails outright when the
+            # evaluated trials are flat to within fpresn = ftol
+            # (GETPTC_FAIL), else shrinks its tolerances 10x and keeps
+            # searching, failing when tol would drop under tnytol —
+            # exactly the reference's shrink-and-retry ladder.
+            reltol_t, abstol_t = t["reltol"], t["abstol"]
+            tol = reltol_t * lo + abstol_t
+            collapse = has_hi & ((hi - lo) <= 2.0 * tol)
+            improved = f_best < f
+            fw_gap = jnp.where(
+                jnp.isfinite(f_hi), jnp.abs(f - f_hi), jnp.inf
             )
-            searching = searching & ~dead
+            dead_ok = collapse & improved
+            shrinkable = collapse & ~improved
+            dead_fail = shrinkable & (fw_gap <= ftol)
+            cont = shrinkable & ~dead_fail
+            too_tiny = 0.1 * tol < tnytol
+            dead_fail = dead_fail | (cont & too_tiny)
+            cont = cont & ~too_tiny
+            reltol_t = jnp.where(cont, 0.1 * reltol_t, reltol_t)
+            abstol_t = jnp.where(cont, 0.1 * abstol_t, abstol_t)
+            searching = searching & ~(dead_ok | dead_fail)
             # unbracketed rows continue the ladder past its last rung
             # (clamped at spe — the cap trial is never exceeded)
             alpha = jnp.where(
@@ -596,6 +628,7 @@ def _tncg_core(
                         found=t["found"] | acc,
                         a_new=a_new, f_new=f_new, a_best=a_best,
                         f_best=f_best, searching=searching,
+                        reltol=reltol_t, abstol=abstol_t,
                         # dtype-pinned sums: under a jax_enable_x64 scope a
                         # plain int32 sum promotes to int64 (NumPy
                         # semantics) and the scatter into the int32 debug
