@@ -291,23 +291,23 @@ def _prep_tncg_body(p, se: ShardedEll, plane_dtype,
 
 
 def _full_round_body(p, se: ShardedEll, max_cg,
-                     reuse_prev, max_outer, x, active, Bsum, bsum2d, planes,
-                     cols, vals, srcs, perm, inv_perm, row_nnz):
+                     reuse_prev, max_outer, x, active, nfe, Bsum, bsum2d,
+                     planes, cols, vals, srcs, perm, inv_perm, row_nnz):
     from ..solvers.tncg import _tncg_update_ell_jit
 
     ell = se.local_ell(cols, vals, srcs, perm, inv_perm, row_nnz)
     planes_l = tuple(bg[0] for bg in planes)
     bsum_l = bsum2d if p.w_mult != 1.0 else Bsum
     x_new, _, st = _tncg_update_ell_jit(
-        x, planes_l, ell, bsum_l, reuse_prev, max_outer, active,
+        x, planes_l, ell, bsum_l, reuse_prev, max_outer, active, nfe,
         l2_reg=p.l2_reg, w_mult=p.w_mult, maxupd=p.maxupd,
         max_cg=max_cg,
     )
-    return x_new, st["active"]
+    return x_new, st["active"], st["nfeval"]
 
 
 def _compact_round_body(p, se: ShardedEll, plan, dtype_name, max_cg,
-                        max_outer, x, fixed, Bsum, bsum2d,
+                        max_outer, x, nfe, fixed, Bsum, bsum2d,
                         sels, src_cs, slot_map, row_nnz_c,
                         cols, vals, srcs, perm, inv_perm, row_nnz):
     from ..solvers.tncg import _tncg_update_ell_jit
@@ -325,16 +325,24 @@ def _compact_round_body(p, se: ShardedEll, plan, dtype_name, max_cg,
         jnp.take(bsum2d, slot_map_d, axis=0) if p.w_mult != 1.0 else Bsum
     )
     x_c = jnp.take(x, slot_map_d, axis=0)
+    nfe_c = jnp.take(nfe, slot_map_d)
     x_new, _, st = _tncg_update_ell_jit(
         x_c, planes_c, compact, bsum_c,
         jnp.asarray(True), max_outer,
         jnp.ones((x_c.shape[0],), dtype=bool),
+        nfe_c,
         l2_reg=p.l2_reg, w_mult=p.w_mult, maxupd=p.maxupd,
         max_cg=max_cg,
     )
     x_out = ell_ops.scatter_back(x, x_new, compact.perm,
                                  compact.row_nnz_perm)
-    return x_out, st["active"]
+    # thread the feval budget back (fill slots all write the zero tail's
+    # own carried value — deterministic duplicate writes)
+    nfe_out = nfe.at[slot_map_d].set(
+        jnp.where(compact.row_nnz_perm > 0, st["nfeval"],
+                  jnp.take(nfe, slot_map_d))
+    )
+    return x_out, st["active"], nfe_out
 
 
 def _unpermute_body(se: ShardedEll, x, inv_perm):
@@ -471,19 +479,21 @@ def sharded_tncg_cascade_half(
         progs["full"] = jax.shard_map(
             functools.partial(_full_round_body, p, se, p.max_cg),
             mesh=mesh,
-            in_specs=(P(), P(), P(AXIS, None), P(AXIS), P(), P(AXIS, None),
+            in_specs=(P(), P(), P(AXIS, None), P(AXIS), P(AXIS), P(),
+                      P(AXIS, None),
                       tuple(P(AXIS, None, None, None) for _ in se.cols))
             + ell_specs,
-            out_specs=(P(AXIS, None), P(AXIS)),
+            out_specs=(P(AXIS, None), P(AXIS), P(AXIS)),
             check_vma=False,
         )
         progs["full_final"] = jax.shard_map(
             functools.partial(_full_round_body, p, se, None),
             mesh=mesh,
-            in_specs=(P(), P(), P(AXIS, None), P(AXIS), P(), P(AXIS, None),
+            in_specs=(P(), P(), P(AXIS, None), P(AXIS), P(AXIS), P(),
+                      P(AXIS, None),
                       tuple(P(AXIS, None, None, None) for _ in se.cols))
             + ell_specs,
-            out_specs=(P(AXIS, None), P(AXIS)),
+            out_specs=(P(AXIS, None), P(AXIS), P(AXIS)),
             check_vma=False,
         )
         progs["unperm"] = jax.shard_map(
@@ -509,13 +519,13 @@ def sharded_tncg_cascade_half(
                                   None if last else p.max_cg),
                 mesh=mesh,
                 in_specs=(
-                    P(), P(AXIS, None), P(), P(), P(AXIS, None),
+                    P(), P(AXIS, None), P(AXIS), P(), P(), P(AXIS, None),
                     tuple(P(AXIS, None) for _ in se.cols),  # sels
                     _src_specs(se.srcs),                    # src_cs
                     P(AXIS, None),                          # slot_map
                     P(AXIS, None),                          # row_nnz_c
                 ) + ell_specs,
-                out_specs=(P(AXIS, None), P(AXIS)),
+                out_specs=(P(AXIS, None), P(AXIS), P(AXIS)),
                 check_vma=False,
             )
         return progs["compact"][key]
@@ -523,6 +533,10 @@ def sharded_tncg_cascade_half(
     MAX_ROUNDS = 8
     ROUND_ITERS = 4
     round0_iters = 3
+    # share-adaptive bounded round length, same policy as the single-chip
+    # cascade (train.py half()): long full rounds while most rows are
+    # live, short rounds once a compactable tail is plausible
+    BIG_SHARE, BIG_ITERS = 0.35, 8
     unbounded = max(4, p.maxupd // 3)
     n_slots = se.n_slots
     import os as _os
@@ -535,6 +549,9 @@ def sharded_tncg_cascade_half(
 
     x = x0
     active = None  # host [D, n_slots] bool; None = all rows (first round)
+    # per-row feval budget threaded across rounds (same semantics as the
+    # single-chip cascade, train.py half())
+    nfe = jnp.zeros((D * n_slots,), dtype=jnp.int32)
     for rnd in range(MAX_ROUNDS):
         last = rnd == MAX_ROUNDS - 1
         sel = plan = None
@@ -581,17 +598,17 @@ def sharded_tncg_cascade_half(
                 return compact_round_fn(plan, last)(
                     jnp.asarray(unbounded if last else ROUND_ITERS,
                                 dtype=jnp.int32),
-                    x_in, fixed, Bsum, bsum2d,
+                    x_in, nfe, fixed, Bsum, bsum2d,
                     sels, src_cs, jnp.asarray(slot_map_h), row_nnz_c,
                     *ell_args,
                 )
 
             if last:
-                x, _ = round_compact(x)
+                x, _, _ = round_compact(x)
                 act_next = None
             else:
                 # re-dispatch on lost execution rpcs, like single-chip
-                x, act_c = _round_with_redispatch(round_compact, x)
+                x, act_c, nfe = _round_with_redispatch(round_compact, x)
                 act_c = np.asarray(act_c).reshape(D, plan.n_slots)
                 act_next = np.zeros((D, n_slots), dtype=bool)
                 for d in range(D):
@@ -605,22 +622,26 @@ def sharded_tncg_cascade_half(
                 else active
             )
 
+            bounded_iters = (
+                BIG_ITERS if n_in > BIG_SHARE * D * n_slots else ROUND_ITERS
+            )
+
             def round_full(x_in):
                 return full_round_fn(last)(
                     jnp.asarray(bool(p.reuse_prev) if rnd == 0 else True),
                     jnp.asarray(unbounded if last
                                 else (round0_iters if rnd == 0
-                                      else ROUND_ITERS),
+                                      else bounded_iters),
                                 dtype=jnp.int32),
-                    x_in, jnp.asarray(mask.reshape(-1)), Bsum, bsum2d,
+                    x_in, jnp.asarray(mask.reshape(-1)), nfe, Bsum, bsum2d,
                     planes, *ell_args,
                 )
 
             if last:
-                x, _ = round_full(x)
+                x, _, _ = round_full(x)
                 act_next = None
             else:
-                x, act = _round_with_redispatch(round_full, x)
+                x, act, nfe = _round_with_redispatch(round_full, x)
                 act_next = np.asarray(act).reshape(D, n_slots)
             structure = "full"
         n_out = 0 if act_next is None else int(np.count_nonzero(act_next))

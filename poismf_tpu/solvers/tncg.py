@@ -128,6 +128,7 @@ def _tncg_core(
     fgh_weight: float = 1.0,  # sweep cost of one fgh eval (aux plane writes)
     bdot_weight: float = 1.0,  # sweep cost of the hoisted <B,d> pass
     ls_cand: int = LS_CAND_DEFAULT,  # ray trials per LS round
+    nfeval0: Optional[jnp.ndarray] = None,  # [R] carried feval budget
 ):
     """Backend-agnostic batched truncated-Newton driver (see module doc).
 
@@ -176,6 +177,24 @@ def _tncg_core(
     xtol = rteps
 
     f0, g0, w20, diag0, px0 = fgh(x0)
+    # nfeval0 threads the per-row feval budget ACROSS cascade rounds: the
+    # reference's maxnfeval is a per-HALF-UPDATE budget (tnc.c:436-440,
+    # charged once per f/g eval incl. CG's HVPs and every LS trial), so a
+    # round that starts fresh at 1 hands rows up to MAX_ROUNDS x the
+    # reference's budget — cheap capped bulk rounds under-consume it and
+    # the final unbounded rounds then grind ~2-3x the outer iterations the
+    # reference would allow.  Each round charges its own init fgh (+1),
+    # and a row whose carried budget is already spent never re-activates.
+    nfe_init = (
+        jnp.ones((R,), dtype=jnp.int32)
+        if nfeval0 is None
+        else nfeval0.astype(jnp.int32) + 1
+    )
+    active0 = has_nnz & jnp.isfinite(f0)
+    if active_mask is not None:
+        active0 = active0 & active_mask
+    if nfeval0 is not None:
+        active0 = active0 & (nfe_init < maxupd)
     state0 = dict(
         x=x0,
         f=f0,
@@ -183,12 +202,8 @@ def _tncg_core(
         w2=w20,
         diag=diag0,
         px=px0,
-        nfeval=jnp.ones((R,), dtype=jnp.int32),
-        active=(
-            has_nnz & jnp.isfinite(f0)
-            if active_mask is None
-            else has_nnz & jnp.isfinite(f0) & active_mask
-        ),
+        nfeval=nfe_init,
+        active=active0,
         it=jnp.zeros((), dtype=jnp.int32),
         # GLOBAL count of full plane/edge sweeps (every batched evaluation
         # reads the whole data structure regardless of per-row activity) —
@@ -919,6 +934,7 @@ def _tncg_update_ell_jit(
     reuse_prev: jnp.ndarray,  # traced bool scalar
     max_outer: jnp.ndarray,  # traced int32 scalar
     active_mask: jnp.ndarray,  # [n_rows_ell] bool (all-True = full solve)
+    nfeval0: Optional[jnp.ndarray] = None,  # [n_rows_ell] carried budget
     *,
     l2_reg: float,
     w_mult: float,
@@ -995,7 +1011,7 @@ def _tncg_update_ell_jit(
         true_row_mask=has_nnz,  # ELL slots with nnz are exactly the true rows
         active_mask=active_mask,
         ftol=ftol, trial_frac=trial_frac, fgh_weight=fgh_weight,
-        bdot_weight=bdot_weight, ls_cand=ls_cand,
+        bdot_weight=bdot_weight, ls_cand=ls_cand, nfeval0=nfeval0,
     )
     return x_final, share, _stats_dict(out)
 
@@ -1018,6 +1034,7 @@ def tncg_update_ell(
     l2_in_f: bool = False,
     max_cg: Optional[int] = None,
     ls_cand: Optional[int] = None,
+    nfeval0: Optional[jnp.ndarray] = None,
 ):
     """One TNCG pass over every (permuted) row, planar-ELL backend.
 
@@ -1036,7 +1053,7 @@ def tncg_update_ell(
         A_perm, planes, ell, Bsum,
         jnp.asarray(bool(reuse_prev)),
         jnp.asarray(_effective_max_outer(max_outer, maxupd), dtype=jnp.int32),
-        active_mask,
+        active_mask, nfeval0,
         l2_reg=l2_reg, w_mult=w_mult, maxupd=maxupd, ftol=ftol,
         l2_in_f=l2_in_f, max_cg=max_cg,
         ls_cand=max(1, int(ls_cand if ls_cand is not None

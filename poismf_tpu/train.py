@@ -188,21 +188,31 @@ def _compact_round(
     w_mult: float,
     max_cg: Optional[int] = None,
     stats_out: Optional[list] = None,
+    nfe_full: Optional[jnp.ndarray] = None,
 ):
     """One cascade round on a compact sub-ELL (see the note above on why
     this is three dispatches).  Round length and selection are traced, so
-    every round of a given plan reuses the same three executables."""
+    every round of a given plan reuses the same three executables.
+
+    ``nfe_full`` threads the per-row feval budget (the reference's
+    per-half-update maxnfeval, tnc.c:436-440) across cascade rounds: the
+    carried counts are gathered into the compact layout alongside the
+    iterates and the updated counts scattered back (third return value,
+    None when not threaded)."""
     from .solvers.tncg import _tncg_update_ell_jit
 
     compact, planes_c, x_c, bsum_c = _compact_build(
         x_full, fixed_p, ell, bsum_in, sels, src_cs, slot_map, row_nnz_c,
         plan=plan, dtype_name=dtype_name,
     )
+    slot_map_d = compact.perm
+    nfe_c = None if nfe_full is None else jnp.take(nfe_full, slot_map_d)
     x_new, _, stats = _tncg_update_ell_jit(
         x_c, planes_c, compact, bsum_c,
         jnp.asarray(True),  # compact rounds always continue from x
         max_outer,
         jnp.ones((x_c.shape[0],), dtype=bool),
+        nfe_c,
         l2_reg=l2_reg, w_mult=w_mult, maxupd=maxupd, max_cg=max_cg,
     )
     if PASS_STATS is not None:
@@ -216,9 +226,18 @@ def _compact_round(
         )
     x_out = _compact_scatter(x_full, x_new, compact.perm,
                              compact.row_nnz_perm)
+    nfe_out = None
+    if nfe_full is not None:
+        # fill slots all map to the parent zero tail (one index): every
+        # duplicate writes the tail's own carried value, so .set is
+        # deterministic there
+        nfe_out = nfe_full.at[slot_map_d].set(
+            jnp.where(compact.row_nnz_perm > 0, stats["nfeval"],
+                      jnp.take(nfe_full, slot_map_d))
+        )
     if stats_out is not None:
         stats_out[0] = stats
-    return x_out, stats["active"]
+    return x_out, stats["active"], nfe_out
 
 
 @dataclasses.dataclass
@@ -667,6 +686,10 @@ def _run_poismf_ell(
         _maybe_build_adaptive_plan(ell, aux)
         x = target_p
         active = None  # None = all rows (first round)
+        # per-row feval budget, threaded across rounds (the reference's
+        # per-half-update maxnfeval, tnc.c:436-440) — a fresh count per
+        # ROUND would hand rows up to MAX_ROUNDS x the reference's budget
+        nfe = jnp.zeros((ell.n_rows_ell,), dtype=jnp.int32)
         for rnd in range(MAX_ROUNDS):
             last = rnd == MAX_ROUNDS - 1
             sel = plan = None
@@ -708,13 +731,14 @@ def _run_poismf_ell(
                         maxupd=p.maxupd, w_mult=p.w_mult,
                         max_cg=(None if last else p.max_cg),
                         stats_out=st_cell,
+                        nfe_full=nfe,
                     )
 
                 if last:
-                    x, _ = round_compact(x)
+                    x, _, _ = round_compact(x)
                     act_next = None
                 else:
-                    x, act_c = _round_with_redispatch(round_compact, x)
+                    x, act_c, nfe = _round_with_redispatch(round_compact, x)
                     sm = np.asarray(slot_map)
                     act_next = np.zeros(ell.n_rows_ell, dtype=bool)
                     live = act_c & (sm != ell.n_rows_ell - 1)
@@ -739,6 +763,7 @@ def _run_poismf_ell(
                                    else (round0_iters if rnd == 0
                                          else bounded_iters)),
                         return_stats=True, active_mask=mask,
+                        nfeval0=nfe,
                         # final rounds polish with the reference maxCGit:
                         # the tight cap is a bulk-round bandwidth trade,
                         # but each half-update ENDPOINT gets full-depth
@@ -751,13 +776,13 @@ def _run_poismf_ell(
                     if PASS_STATS is not None:
                         PASS_STATS.append((st["passes"], swb))
                     st_cell[0] = st
-                    return x_out, st["active"]
+                    return x_out, st["active"], st["nfeval"]
 
                 if last:
-                    x, _ = round_full(x)
+                    x, _, _ = round_full(x)
                     act_next = None
                 else:
-                    x, act_next = _round_with_redispatch(round_full, x)
+                    x, act_next, nfe = _round_with_redispatch(round_full, x)
                 log(rnd, "full", last, active, act_next,
                     stats=st_cell[0])
             if act_next is None or not act_next.any():
@@ -868,7 +893,9 @@ def _round_with_redispatch(round_fn, x_in, max_redispatch: int = 2):
     """Run one cascade round and fetch its active mask, re-dispatching the
     whole (pure) round when every read attempt stalls — the recovery path
     for lost execution rpcs on the tunneled transport.  ``round_fn`` maps
-    the pre-round iterates to ``(x_out, active_device_array)``."""
+    the pre-round iterates to ``(x_out, active_device_array, *carried)``;
+    any extra outputs (e.g. the threaded feval budget) pass through
+    untouched."""
     from .utils.transfer import FetchStalled
 
     import sys as _sys
@@ -879,9 +906,10 @@ def _round_with_redispatch(round_fn, x_in, max_redispatch: int = 2):
             # a re-dispatched round's work is memoized server-side: drop
             # the duplicate traffic entries so achieved-GB/s stays honest
             del PASS_STATS[mark:]
-        x_out, act = round_fn(x_in)
+        res = round_fn(x_in)
+        x_out, act = res[0], res[1]
         try:
-            return x_out, fetch_host(act, give_up=True)
+            return (x_out, fetch_host(act, give_up=True), *res[2:])
         except FetchStalled:
             if attempt < max_redispatch:
                 print(
@@ -898,7 +926,7 @@ def _round_with_redispatch(round_fn, x_in, max_redispatch: int = 2):
         "(interrupt to abandon the fit)",
         file=_sys.stderr, flush=True,
     )
-    return x_out, fetch_host(act)
+    return (x_out, fetch_host(act), *res[2:])
 
 
 def _cascade_logger(ell):
@@ -1108,12 +1136,15 @@ def warm_compact_plans(by_user: CountsMatrix, by_item: CountsMatrix,
             # rounds (reference cap) under the hybrid policy — warm both
             # program variants
             for cap in {p.max_cg, None}:
-                out, _ = _compact_round(
+                out, _, _ = _compact_round(
                     x_full, fixed_p, ell, bsum,
                     tuple(sels), tuple(src_cs), slot_map, row_nnz_c,
                     p.l2_reg, jnp.asarray(1, dtype=jnp.int32),
                     plan=plan, dtype_name=dtype_name,
                     maxupd=p.maxupd, w_mult=p.w_mult, max_cg=cap,
+                    # the cascade threads the feval budget, so warm THAT
+                    # program variant (nfe as a traced operand)
+                    nfe_full=jnp.zeros((ell.n_rows_ell,), dtype=jnp.int32),
                 )
                 jax.block_until_ready(out)
             warmed.add(id(plan))
