@@ -468,15 +468,23 @@ def reference_topn_qps(A, B, n_top=10, n_queries=24, nthreads=16):
 # B 96.13% zeros).  The reference side always runs float64 (the harness is
 # compiled double); ours runs the TPU f32 path for both.
 QUALITY_CONFIGS = {
-    "warm": dict(method="tncg", l2_reg=1e3, maxupd=750, niter=10,
+    "warm": dict(method="tncg", k=50, l2_reg=1e3, maxupd=750, niter=10,
                  early_stop=True, reuse_prev=True),
-    "sparse": dict(method="tncg", l2_reg=1e3, maxupd=750, niter=10,
+    "sparse": dict(method="tncg", k=50, l2_reg=1e3, maxupd=750, niter=10,
                    early_stop=True, reuse_prev=False),
+    # the reference's other two published configs (notebook cells 11-15 /
+    # BASELINE.md rows 1-2): cg k=50 niter=30 maxupd=5 l2=1e4 and the pg
+    # sparse regime k=10 niter=10 maxupd=1 l2=1e9
+    "cg": dict(method="cg", k=50, l2_reg=1e4, maxupd=5, niter=30,
+               early_stop=True, reuse_prev=False),
+    "pg": dict(method="pg", k=10, l2_reg=1e9, maxupd=1, niter=10,
+               early_stop=True, reuse_prev=False),
 }
 
 
-def run_quality(scale: float, out_path: str = "QUALITY_r04.json",
-                configs=("warm", "sparse"), ref_only: bool = False):
+def run_quality(scale: float, out_path: str = "QUALITY_r05.json",
+                configs=("warm", "sparse", "cg", "pg"),
+                ref_only: bool = False):
     """Full(-ish)-scale matched-quality evidence vs the compiled reference C:
     fit BOTH implementations on the same synthetic power-law data from the
     same init, then compare final train LL, factor sparsity (A and B) and
@@ -509,7 +517,6 @@ def run_quality(scale: float, out_path: str = "QUALITY_r04.json",
     n_users = max(int(N_USERS * scale), 256)
     n_items = max(int(N_ITEMS * scale), 128)
     nnz = max(int(NNZ_TARGET * scale), 4096)
-    K = 50
 
     rng = np.random.default_rng(7)
     rows, cols, vals = synth_lastfm_like(rng, n_users, n_items, nnz)
@@ -521,10 +528,6 @@ def run_quality(scale: float, out_path: str = "QUALITY_r04.json",
     print(f"# [quality] {n_users}x{n_items}, train nnz {Xtr.nnz}, "
           f"test nnz {Xte.nnz}", file=sys.stderr, flush=True)
 
-    nprng = np.random.default_rng(11)
-    A0 = 0.3 + nprng.uniform(0.0, 0.01, size=(n_users, K))
-    B0 = 0.3 + nprng.uniform(0.0, 0.01, size=(n_items, K))
-
     coo = Xtr.tocoo()
     by_user, by_item = build_both_orientations(
         coo.row.astype(np.int32), coo.col.astype(np.int32),
@@ -533,7 +536,12 @@ def run_quality(scale: float, out_path: str = "QUALITY_r04.json",
 
     lines = []
     for cname in configs:
-        cfg = QUALITY_CONFIGS[cname]
+        cfg = dict(QUALITY_CONFIGS[cname])
+        K = cfg.pop("k")
+        method = cfg["method"]
+        nprng = np.random.default_rng(11)
+        A0 = 0.3 + nprng.uniform(0.0, 0.01, size=(n_users, K))
+        B0 = 0.3 + nprng.uniform(0.0, 0.01, size=(n_items, K))
         suffix = "" if cname == "warm" else f"_{cname}"  # cache-compat
         cache = os.path.join(
             tempfile_dir(), f"poismf_ref_quality_s{scale}_seed7{suffix}.npz"
@@ -552,7 +560,7 @@ def run_quality(scale: float, out_path: str = "QUALITY_r04.json",
             t0 = time.time()
             rc = ref_c.run_poismf_reference(
                 A_ref, B_ref, Xtr.tocsr(), Xtr.tocsc(),
-                method="tncg", l2_reg=cfg["l2_reg"], numiter=cfg["niter"],
+                method=method, l2_reg=cfg["l2_reg"], numiter=cfg["niter"],
                 maxupd=cfg["maxupd"], early_stop=cfg["early_stop"],
                 reuse_prev=cfg["reuse_prev"], nthreads=1,
             )
@@ -624,7 +632,8 @@ def run_quality(scale: float, out_path: str = "QUALITY_r04.json",
         m_tpu = ranking_metrics(A_t, B_t, Xtr, Xte, k=5)
 
         out = {
-            "metric": f"quality_parity_tncg{suffix}",
+            "metric": (f"quality_parity_tncg{suffix}" if method == "tncg"
+                       else f"quality_parity_{cname}"),
             "scale": scale,
             "config": dict(cfg),
             "ll_ref": ll_ref,
@@ -733,13 +742,24 @@ def main(argv=None):
             mesh_n = int(a.split("=", 1)[1])
         elif a == "--quality" or a.startswith("--quality="):
             q_scale = (float(a.split("=", 1)[1]) if "=" in a else 0.25)
-            _require_device()
+            q_cfgs = tuple(QUALITY_CONFIGS)
+            ref_only = "--quality-ref-only" in argv
+            for b in argv:
+                if b.startswith("--quality-configs="):
+                    q_cfgs = tuple(
+                        c for c in b.split("=", 1)[1].split(",") if c
+                    )
+            for c in q_cfgs:
+                if c not in QUALITY_CONFIGS:
+                    raise SystemExit(f"unknown quality config {c!r}")
+            if not ref_only:
+                _require_device()
             cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "")
             if cache_dir:
                 import jax
 
                 jax.config.update("jax_compilation_cache_dir", cache_dir)
-            return run_quality(q_scale)
+            return run_quality(q_scale, configs=q_cfgs, ref_only=ref_only)
     for c in configs:
         if c not in CONFIGS:
             raise SystemExit(f"unknown config {c!r}")
