@@ -50,7 +50,20 @@ class EllBucket:
     ``src`` is None for a pure-primary bucket (slots are their own rows);
     otherwise ``src[i]`` is the ELL slot holding the factor vector this
     bucket row reads from / accumulates into (long-row extension chunks
-    point at their primary slot; padding rows point at the zero tail)."""
+    point at their primary slot; padding rows point at the zero tail).
+
+    ``ext``/``ext_src`` (set at build time for the full ELL) list the REAL
+    extension rows only: ``ext[j]`` is the bucket-local position of the
+    j-th long-row extension chunk and ``ext_src[j]`` its primary's ELL
+    slot.  Primary rows always satisfy ``src[i] == offset + i``, so with
+    ``ext`` known the per-bucket gather/scatter degenerates to a
+    contiguous slice plus a TINY extension-only fixup — the full-index
+    scatter of ``src`` (82k ids on the bench item side for a bucket with
+    a handful of extension chunks) measured ~0.7 ms per assemble and was
+    the single largest cost of the TNCG line-search round (profiled on
+    v5e: 8 scatter fusions per multi-candidate round vs 0.5 ms of ray
+    kernels).  ``ext=None`` with ``src`` set (per-round compact sub-ELLs,
+    sharded per-device ELLs) keeps the full-scatter path."""
 
     offset: int
     n_rows: int  # padded to ROW_TILE
@@ -58,17 +71,19 @@ class EllBucket:
     cols: Any  # [R_b, P] int32
     vals: Any  # [P, R_b] dtype
     src: Any = None  # Optional [R_b] int32
+    ext: Any = None  # Optional [n_ext] int32 (bucket-local positions)
+    ext_src: Any = None  # Optional [n_ext] int32 (primary ELL slots)
 
     def tree_flatten(self):
-        return (self.cols, self.vals, self.src), (
+        return (self.cols, self.vals, self.src, self.ext, self.ext_src), (
             self.offset, self.n_rows, self.P,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        cols, vals, src = children
+        cols, vals, src, ext, ext_src = children
         offset, n_rows, P = aux
-        return cls(offset, n_rows, P, cols, vals, src)
+        return cls(offset, n_rows, P, cols, vals, src, ext, ext_src)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -303,16 +318,24 @@ def build_ell(
         sl = slice(int(flat_off[i]), int(flat_off[i + 1]))
         bcols = flat_cols[sl].reshape(Rb, P)
         bvals = flat_vals[sl].reshape(Rb, P)
-        all_primary = bool(np.all(is_primary[order[s:e]]))
+        is_prim_b = is_primary[order[s:e]]
+        all_primary = bool(np.all(is_prim_b))
         if all_primary:
-            src = None
+            src = ext = ext_src = None
         else:
             src = np.full(Rb, n_rows_ell - 1, dtype=np.int32)
             src[: e - s] = src_of_v[order[s:e]].astype(np.int32)
+            # real extension chunks only (padding rows excluded): with
+            # these known statically, _bucket_x/_assemble run as
+            # contiguous slices + a tiny fixup instead of full-bucket
+            # gathers/scatters (see EllBucket docstring)
+            ext = np.nonzero(~is_prim_b)[0].astype(np.int32)
+            ext_src = src[ext]
         buckets.append(
             EllBucket(
                 offset=off, n_rows=Rb, P=P,
                 cols=bcols, vals=np.ascontiguousarray(bvals.T), src=src,
+                ext=ext, ext_src=ext_src,
             )
         )
 
@@ -325,6 +348,8 @@ def build_ell(
                 b.offset, b.n_rows, b.P,
                 jnp.asarray(b.cols), jnp.asarray(b.vals),
                 None if b.src is None else jnp.asarray(b.src),
+                None if b.ext is None else jnp.asarray(b.ext),
+                None if b.ext_src is None else jnp.asarray(b.ext_src),
             )
             for b in buckets
         ]
@@ -511,33 +536,66 @@ def _gather_planes_jit(M, ell, dtype_name):
     return _gather_planes_compiled(dtype_name)(M, ell)
 
 
+def _self_mask(b: EllBucket):
+    """[R_b] bool: bucket rows whose slot IS their own primary row (i.e.
+    everything except long-row extension chunks and padding rows).  Cheap
+    in-graph elementwise compare; fuses into whatever consumes it."""
+    import jax.numpy as jnp
+
+    return b.src == (b.offset + jnp.arange(b.n_rows, dtype=b.src.dtype))
+
+
 def _bucket_x(A_perm, b: EllBucket):
     """The factor rows a bucket reads: its own contiguous slot range for
-    pure-primary buckets, or a (small) gather through ``src`` when the bucket
-    contains long-row extension chunks."""
+    pure-primary buckets; for mixed buckets with static ``ext`` metadata,
+    the same contiguous slice with extension rows overwritten by their
+    primary's vector (and padding rows zeroed — the zero-tail row they
+    used to read is identically zero); otherwise the full ``src`` gather
+    (compact sub-ELLs / sharded per-device ELLs)."""
     import jax.numpy as jnp
     from jax import lax
 
     if b.src is None:
         return lax.dynamic_slice_in_dim(A_perm, b.offset, b.n_rows, axis=0)
+    if b.ext is not None:
+        base = lax.dynamic_slice_in_dim(A_perm, b.offset, b.n_rows, axis=0)
+        base = jnp.where(_self_mask(b)[:, None], base, 0)
+        prim = jnp.take(A_perm, b.ext_src, axis=0)
+        return base.at[b.ext].set(prim)
     return jnp.take(A_perm, b.src, axis=0)
 
 
 def _assemble(ell: EllMatrix, pieces: Sequence[Any], shape, dtype):
     """Per-bucket row outputs -> [n_rows_ell, ...].  Pure-primary buckets
-    write their contiguous slot range; mixed buckets scatter-ADD through
-    ``src`` so extension chunks accumulate into their primary row."""
+    write their contiguous slot range; mixed buckets with static ``ext``
+    metadata write their primary rows as a contiguous slice and
+    scatter-ADD only the (few) extension-chunk rows into their primary
+    slots; mixed buckets without it scatter-ADD the whole bucket through
+    ``src``.  All scatter-adds run AFTER every slice write (extension
+    targets live inside other buckets' slot ranges — the long-row heads)."""
     import jax.numpy as jnp
     from jax import lax
 
     out = jnp.zeros((ell.n_rows_ell,) + shape, dtype=dtype)
+    deferred = []  # (target slots, updates) applied after all slices
     for b, part in zip(ell.buckets, pieces):
         if b.src is None:
             out = lax.dynamic_update_slice(
                 out, part.astype(dtype), (b.offset,) + (0,) * len(shape)
             )
+        elif b.ext is not None:
+            sm = _self_mask(b).reshape((-1,) + (1,) * len(shape))
+            base = jnp.where(sm, part.astype(dtype), 0)
+            out = lax.dynamic_update_slice(
+                out, base, (b.offset,) + (0,) * len(shape)
+            )
+            deferred.append(
+                (b.ext_src, jnp.take(part, b.ext, axis=0).astype(dtype))
+            )
         else:
-            out = out.at[b.src].add(part.astype(dtype))
+            deferred.append((b.src, part.astype(dtype)))
+    for idx, upd in deferred:
+        out = out.at[idx].add(upd)
     return out
 
 
