@@ -25,15 +25,26 @@ _tried = False
 
 
 def _build() -> bool:
-    cmd = [
-        "g++", "-O3", "-march=native", "-shared", "-fPIC",
-        "-o", _LIB, _SRC,
-    ]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        return True
-    except Exception:
-        return False
+    """Compile host.cpp with overridable toolchain knobs (the reference
+    exposes the same levers through setup.py probing, setup.py:29-212):
+
+    * ``POISMF_HOST_CXX``     — compiler binary (default ``g++``)
+    * ``POISMF_HOST_CFLAGS``  — replaces the default optimization flags
+      (default ``-O3 -march=native``); e.g. portable wheels set
+      ``-O3 -mtune=generic``.
+
+    Falls back to a plain ``-O3`` build when the tuned flags are rejected
+    (e.g. ``-march=native`` on a compiler/arch that lacks it)."""
+    cxx = os.environ.get("POISMF_HOST_CXX", "g++")
+    opt = os.environ.get("POISMF_HOST_CFLAGS", "-O3 -march=native").split()
+    for flags in (opt, ["-O3"]):
+        cmd = [cxx, *flags, "-shared", "-fPIC", "-o", _LIB, _SRC]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            return True
+        except Exception:
+            continue
+    return False
 
 
 def _load() -> Optional[ctypes.CDLL]:
