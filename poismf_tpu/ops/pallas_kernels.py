@@ -109,8 +109,12 @@ def _fgh_kernel(w_mult, want_pred, bg_ref, vals_ref, at_ref,
     safe = jnp.maximum(pred, PRED_EPS)
     valid = vals > 0
     logt = jnp.where(valid, vals * jnp.log(safe), 0.0)
-    w = jnp.where(valid, vals / safe, 0.0)
-    w2 = jnp.where(valid, w_mult * vals / (safe * safe), 0.0)
+    # one reciprocal shared by the 1/pred and 1/pred^2 weights (the VPU
+    # divide is the costliest per-slot op after log; measured in the
+    # kernel sweep)
+    recip = 1.0 / safe
+    w = jnp.where(valid, vals * recip, 0.0)
+    w2 = jnp.where(valid, (w_mult * vals) * (recip * recip), 0.0)
     nll_ref[...] += -jnp.sum(logt, axis=0)[None, :]
     grad_ref[...] += jnp.sum((-w)[None] * bg, axis=1)
     diag_ref[...] += jnp.sum(w2[None] * (bg * bg), axis=1)

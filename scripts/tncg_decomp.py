@@ -58,6 +58,12 @@ pit = 2 if dt_name == "bfloat16" else 4
 Bsum_i = jnp.sum(A_p, axis=0)  # item side: fixed = A
 planes_i = ell_ops.gather_planes(A_p, ell_item, jnp.dtype(dt_name))
 jax.block_until_ready(planes_i)
+# block_until_ready LIES on this transport: force a true pipeline drain with
+# a dependent d2h fetch before any timed window (CLAUDE.md, lost-wakeup
+# hazard — a read queued behind the plane uploads can hang for minutes)
+from poismf_tpu.utils.transfer import fetch_host  # noqa: E402
+
+fetch_host(jnp.sum(planes_i[0][0]) + jnp.sum(A_p[0]) + jnp.sum(B_p[0]))
 
 ell = ell_item
 target0 = B_p
