@@ -1300,6 +1300,89 @@ def hvp_ell(
 
 
 # ---------------------------------------------------------------------------
+# Inner-CG <B,d> accumulation (ROADMAP #0): the TNCG line search's pd plane
+# is  <B, d> = <B, sum_i alpha_i p_i> = sum_i alpha_i <B, p_i>,  and every
+# inner-CG HVP already computes <B, p_i> in registers — writing it out
+# (+4 B/slot) and folding  pd += alpha_i * bv_i  (12 B/slot) replaces the
+# standalone bdot sweep (a FULL plane read, ~k*itemsize+8 B/slot) whenever
+# the inner-CG cap is small (the cascade's max_cg=3 bulk rounds).  The
+# solver keeps a first-iteration (d1, bd1) snapshot for rows whose final CG
+# direction must be discarded (feasible-cone violation / junk fallback) —
+# d1 = alpha_0 * p_0 provably never violates the cone, so NO gather/scatter
+# correction pass is ever needed (see solvers/tncg.py).
+# ---------------------------------------------------------------------------
+
+
+def hvp_bv_ell(
+    V_perm,
+    planes: Sequence[Any],
+    ell: EllMatrix,
+    w2s: Sequence[Any],
+    l2_reg: float,
+):
+    """:func:`hvp_ell` that also returns the per-bucket ``<B, v>`` planes
+    ([P, R_b] f32 tuple, same layout as :func:`bdot_ell`'s output)."""
+    import jax.numpy as jnp
+
+    k = V_perm.shape[1]
+    outs, bvs = [], []
+    mode = _pallas_state()
+    for b, bg, w2 in zip(ell.buckets, planes, w2s):
+        V_T = _bucket_x(V_perm, b).T
+        if mode is not None and bg.dtype != jnp.float64:
+            from . import pallas_kernels as pk
+
+            out, bv = pk.hvp_bv_bucket(
+                bg, w2.astype(jnp.float32), V_T.astype(jnp.float32),
+                interpret=(mode == "interpret"),
+            )
+            outs.append(out.T.astype(V_T.dtype))
+            bvs.append(bv.astype(V_T.dtype))
+        else:
+            bv = jnp.sum(bg * V_T[:, None, :], axis=0)  # [P, R_b]
+            outs.append(jnp.sum((w2 * bv)[None] * bg, axis=1).T)
+            bvs.append(bv)
+    data = _assemble(ell, outs, (k,), V_perm.dtype)
+    return 2.0 * l2_reg * V_perm + data, tuple(bvs)
+
+
+def bd_zeros_ell(ell: EllMatrix, dtype=None):
+    """Zeroed per-bucket [P, R_b] planes (the pd accumulator's init)."""
+    import jax.numpy as jnp
+
+    return tuple(
+        jnp.zeros(b.vals.shape, dtype=dtype or jnp.float32)
+        for b in ell.buckets
+    )
+
+
+def bd_axpy_ell(bds: Sequence[Any], m, bvs: Sequence[Any],
+                ell: EllMatrix):
+    """``bd += m[row] * bv`` per bucket, with the per-row multiplier ``m``
+    ([n_rows_ell]) read through each bucket's source mapping (extension
+    chunks take their primary row's multiplier, padding rows 0)."""
+    out = []
+    for b, bd, bv in zip(ell.buckets, bds, bvs):
+        m_b = _bucket_x(m[:, None], b)[:, 0]  # [R_b]
+        out.append(bd + m_b[None, :] * bv)
+    return tuple(out)
+
+
+def bd_select_ell(use_first, bd1s: Sequence[Any], bds: Sequence[Any],
+                  ell: EllMatrix):
+    """Per-row plane select: rows flagged in ``use_first`` ([n_rows_ell]
+    bool) take their ``bd1`` plane slice, the rest keep ``bd``."""
+    import jax.numpy as jnp
+
+    out = []
+    uf = use_first.astype(jnp.float32)
+    for b, bd1, bd in zip(ell.buckets, bd1s, bds):
+        u_b = _bucket_x(uf[:, None], b)[:, 0] > 0.5  # [R_b]
+        out.append(jnp.where(u_b[None, :], bd1, bd))
+    return tuple(out)
+
+
+# ---------------------------------------------------------------------------
 # Active-set compaction: after a few outer iterations of a warm-started
 # solve, only a small tail of rows remains active; a compact sub-ELL with
 # STATIC capacities (1/8 of each bucket, so one extra compiled program)

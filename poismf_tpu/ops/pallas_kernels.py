@@ -827,7 +827,7 @@ def raygtd_multi_bucket(px, pd, vals, alphas, interpret: bool = False):
 # ---------------------------------------------------------------------------
 
 
-def _hvp_kernel(bg_ref, w2_ref, vt_ref, out_ref):
+def _hvp_kernel(bg_ref, w2_ref, vt_ref, out_ref, bv_ref=None):
     pj = pl.program_id(1)
 
     @pl.when(pj == 0)
@@ -839,6 +839,12 @@ def _hvp_kernel(bg_ref, w2_ref, vt_ref, out_ref):
     w2 = w2_ref[...]
     bv = jnp.sum(bg * v[:, None, :], axis=0)  # [TP, TR]
     out_ref[...] += jnp.sum((w2 * bv)[None] * bg, axis=1)
+    if bv_ref is not None:
+        # inner-CG <B,d> accumulation (ROADMAP #0): the per-slot dot the
+        # HVP already holds in registers, written out (4 B/slot) so the
+        # line search's pd plane is the running sum  sum_i alpha_i <B,p_i>
+        # instead of a standalone full-plane bdot sweep
+        bv_ref[...] = bv
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -863,3 +869,41 @@ def hvp_bucket(bg, w2, v_t, interpret: bool = False):
         interpret=interpret,
     )(bg, w2, v_t)
     return out
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def hvp_bv_bucket(bg, w2, v_t, interpret: bool = False):
+    """HVP that ALSO writes the per-slot ``<B, v>`` plane (ROADMAP #0).
+
+    bg [k, P, R], w2 [P, R] f32, v_t [k, R] f32 ->
+    (out [k, R] f32, bv [P, R] f32).  Same stream as :func:`hvp_bucket`
+    plus a 4 B/slot bv write; the TNCG inner CG accumulates
+    ``pd += alpha * bv`` so the line search's direction plane costs no
+    standalone bdot sweep."""
+    k, P, Rb = bg.shape
+    tp, tr = _tiles(P, Rb, k, bg.dtype.itemsize)
+    grid = (Rb // tr, P // tp)
+    out, bv = pl.pallas_call(
+        _hvp_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((k, tp, tr), lambda ri, pj: (0, pj, ri),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tp, tr), lambda ri, pj: (pj, ri),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, tr), lambda ri, pj: (0, ri),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((k, tr), lambda ri, pj: (0, ri),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tp, tr), lambda ri, pj: (pj, ri),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((k, Rb), jnp.float32),
+            jax.ShapeDtypeStruct((P, Rb), jnp.float32),
+        ],
+        interpret=interpret,
+    )(bg, w2, v_t)
+    return out, bv

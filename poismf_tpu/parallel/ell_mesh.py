@@ -298,10 +298,12 @@ def _full_round_body(p, se: ShardedEll, max_cg,
     ell = se.local_ell(cols, vals, srcs, perm, inv_perm, row_nnz)
     planes_l = tuple(bg[0] for bg in planes)
     bsum_l = bsum2d if p.w_mult != 1.0 else Bsum
+    from ..solvers.tncg import _bd_accum_default
+
     x_new, _, st = _tncg_update_ell_jit(
         x, planes_l, ell, bsum_l, reuse_prev, max_outer, active, nfe,
         l2_reg=p.l2_reg, w_mult=p.w_mult, maxupd=p.maxupd,
-        max_cg=max_cg,
+        max_cg=max_cg, bd_accum=_bd_accum_default(),
     )
     return x_new, st["active"], st["nfeval"]
 
@@ -326,13 +328,15 @@ def _compact_round_body(p, se: ShardedEll, plan, dtype_name, max_cg,
     )
     x_c = jnp.take(x, slot_map_d, axis=0)
     nfe_c = jnp.take(nfe, slot_map_d)
+    from ..solvers.tncg import _bd_accum_default
+
     x_new, _, st = _tncg_update_ell_jit(
         x_c, planes_c, compact, bsum_c,
         jnp.asarray(True), max_outer,
         jnp.ones((x_c.shape[0],), dtype=bool),
         nfe_c,
         l2_reg=p.l2_reg, w_mult=p.w_mult, maxupd=p.maxupd,
-        max_cg=max_cg,
+        max_cg=max_cg, bd_accum=_bd_accum_default(),
     )
     x_out = ell_ops.scatter_back(x, x_new, compact.perm,
                                  compact.row_nnz_perm)

@@ -36,6 +36,18 @@ fixed-shape equivalent:
   maxnfeval budget (= maxupd)             same accounting: +1 per f/g eval,
                                             +1 per HVP, +1 per LS trial
 
+The line search's ``<B, d>`` plane (``pd``) is ACCUMULATED during the inner
+CG on the ELL backend whenever the inner-CG cap is small (the cascade's
+max_cg=3 bulk rounds):  ``pd = <B, sum_i alpha_i p_i> = sum_i alpha_i
+<B, p_i>``, and every HVP already holds ``<B, p_i>`` in registers —
+writing it out plus one fused axpy costs ~16 B/slot per HVP vs the
+~(k*itemsize + 8) B/slot standalone bdot sweep it replaces (ROADMAP #0).
+Rows whose final CG direction must be discarded (feasible-cone violation,
+junk/ascent fallback) revert to their FIRST-iteration direction
+``d1 = alpha_0 * p_0`` — provably cone-feasible and strict-descent — whose
+``bd1`` plane is a snapshot of the same accumulation, so no correction
+pass ever runs (``POISMF_TNCG_BD_ACCUM=0`` restores the hoisted bdot).
+
 Two data-layout backends share the solver core:
 
   * flat sorted-COO (:mod:`..ops.objective`) — simple, used for small
@@ -88,6 +100,12 @@ import os as _os
 def _ls_cand_default() -> int:
     # read per call, not at import: harnesses set the env var after import
     return int(_os.environ.get("POISMF_TNCG_LS_CAND", str(LS_CAND_DEFAULT)))
+
+
+def _bd_accum_default() -> bool:
+    # POISMF_TNCG_BD_ACCUM=0 restores the hoisted bdot sweep everywhere
+    # (A/B lever for the inner-CG <B,d> accumulation, ROADMAP #0)
+    return _os.environ.get("POISMF_TNCG_BD_ACCUM", "1") != "0"
 # NOTE on capping the per-row LS trial budget: tried and REJECTED.  Some
 # rows grind the bracket for 10+ rounds because the replicated reference
 # inconsistency (l2-less f, l2-full gradient — see objective.poisson_fgh)
@@ -129,6 +147,8 @@ def _tncg_core(
     bdot_weight: float = 1.0,  # sweep cost of the hoisted <B,d> pass
     ls_cand: int = LS_CAND_DEFAULT,  # ray trials per LS round
     nfeval0: Optional[jnp.ndarray] = None,  # [R] carried feval budget
+    bd_fns: Optional[dict] = None,  # inner-CG <B,d> accumulation backend
+    hvp_extra: float = 0.0,  # extra sweep fraction per HVP round (bd accum)
 ):
     """Backend-agnostic batched truncated-Newton driver (see module doc).
 
@@ -243,11 +263,20 @@ def _tncg_core(
         active = active & ~conv_pg
 
         inv_diag = 1.0 / jnp.maximum(s["diag"], 1e-12)
-        hvp_raw = hvp_with(s["w2"])
+        track_bd = bd_fns is not None
+        if track_bd:
+            hvp_bv_raw = bd_fns["hvp_bv_with"](s["w2"])
 
-        def hvp(V):
-            Vm = jnp.where(fixed, 0.0, V)
-            return jnp.where(fixed, 0.0, hvp_raw(Vm))
+            def hvp_bv(V):
+                Vm = jnp.where(fixed, 0.0, V)
+                HV, bv = hvp_bv_raw(Vm)
+                return jnp.where(fixed, 0.0, HV), bv
+        else:
+            hvp_raw = hvp_with(s["w2"])
+
+            def hvp(V):
+                Vm = jnp.where(fixed, 0.0, V)
+                return jnp.where(fixed, 0.0, hvp_raw(Vm))
 
         # --- inner preconditioned CG for  H d = -g  on free coordinates ---
         r = pgrad
@@ -263,6 +292,8 @@ def _tncg_core(
             hvps=jnp.zeros((R,), dtype=jnp.int32),
             i=jnp.zeros((), dtype=jnp.int32),
         )
+        if track_bd:
+            cg0["bd"] = bd_fns["zeros"]()
 
         def cg_cond(t):
             # stop as soon as every row's CG hit its forcing tolerance
@@ -270,12 +301,18 @@ def _tncg_core(
 
         def cg_body(t):
             i = t["i"]
-            Hp = hvp(t["p"])
+            if track_bd:
+                Hp, bv = hvp_bv(t["p"])
+            else:
+                Hp = hvp(t["p"])
             pHp = jnp.sum(t["p"] * Hp, axis=1)
             pp = jnp.sum(t["p"] * t["p"], axis=1)
-            # negative / tiny curvature -> truncate (use current d; if the
-            # first iteration, fall back to the preconditioned direction)
-            curv_ok = pHp > 1e-12 * jnp.maximum(pp, 1e-30)
+            # negative / tiny / non-finite curvature -> truncate (use
+            # current d; if the first iteration, fall back to the
+            # preconditioned direction)
+            curv_ok = (
+                pHp > 1e-12 * jnp.maximum(pp, 1e-30)
+            ) & jnp.isfinite(pHp)
             first = i == 0
             d_fb = jnp.where(
                 (~curv_ok & t["run"] & first)[:, None], t["p"], t["d"]
@@ -295,29 +332,87 @@ def _tncg_core(
             rnorm = jnp.sum(r_new * r_new, axis=1)
             still = t["run"] & curv_ok & (rnorm > (TNC_ETA ** 2) * r0norm)
             hvps = t["hvps"] + t["run"].astype(jnp.int32)
-            return dict(d=d_new, r=r_new, z=z_new, p=p_new, rz=rz_new,
-                        run=still, hvps=hvps, i=i + 1)
+            out = dict(d=d_new, r=r_new, z=z_new, p=p_new, rz=rz_new,
+                       run=still, hvps=hvps, i=i + 1)
+            if track_bd:
+                # pd accumulation: d_new - d_old = m * p with m = alpha on
+                # a curvature step, 1 on the first-iteration truncation
+                # fallback (d := p), 0 otherwise — so bd tracks <B, d>
+                # EXACTLY (modulo summation order) at 16 B/slot per HVP
+                # instead of a standalone full-plane bdot sweep
+                m = jnp.where(
+                    t["run"] & curv_ok, alpha,
+                    jnp.where(t["run"] & ~curv_ok & first, 1.0, 0.0),
+                )
+                out["bd"] = bd_fns["axpy"](t["bd"], m, bv)
+            return out
 
-        cg = lax.while_loop(cg_cond, cg_body, cg0)
-        d = jnp.where(fixed, 0.0, cg["d"])
-        # Project the direction into the feasible cone: a coordinate AT the
-        # bound whose Newton component points outward cannot move (the
-        # reference pivots it via addConstraint, tnc.c:1072-1108).  Without
-        # this, spe=0 collapses the step cap, trials clip that coordinate,
-        # and the measured directional derivative g(trial)@d (which uses the
-        # UNPROJECTED d) makes the strong-Wolfe test unsatisfiable -> bogus
-        # LSFAIL with a large gradient (found via the factors_single golden
-        # parity test: rows stopped at obj 120.67 vs the true optimum
-        # 119.13).
-        clipped = jnp.any((x <= 0.0) & (d < 0.0), axis=1)
-        d = jnp.where((x <= 0.0) & (d < 0.0), 0.0, d)
+        if track_bd:
+            # Unroll iteration 0 so the (d1, bd1) first-iteration snapshot
+            # needs no per-iteration plane select inside the loop.  d1 =
+            # alpha_0 * p_0 (or p_0 on the truncation fallback) NEVER
+            # violates the feasible cone: on a bound coordinate either
+            # g > 0 (in ``fixed``, so p_0 = 0) or g <= 0 (p_0 =
+            # -inv_diag * g >= 0) — the safe replacement direction for
+            # rows whose final CG direction must be discarded below.
+            cg1 = cg_body(cg0)
+            d1 = cg1["d"]
+            bd1 = cg1["bd"]
+            cg = lax.while_loop(cg_cond, cg_body, cg1)
+        else:
+            cg = lax.while_loop(cg_cond, cg_body, cg0)
 
-        # fall back to steepest descent if CG returned junk or ascent
-        gtd = jnp.sum(g * d, axis=1)
-        dnorm = jnp.sum(d * d, axis=1)
-        bad = (~jnp.isfinite(gtd)) | (gtd >= 0.0) | (dnorm <= 0.0)
-        d = jnp.where(bad[:, None], -pgrad, d)
-        gtd = jnp.where(bad, -pgnorm * pgnorm, gtd)
+        if track_bd:
+            # The reference pivots bound-violating coordinates via
+            # addConstraint (tnc.c:1072-1108); the batched equivalent used
+            # to zero them post-CG ("cone projection"), which would
+            # invalidate the accumulated <B, d> plane.  Instead, rows whose
+            # full CG direction leaves the cone (or came out as junk /
+            # ascent) REVERT to their first-iteration direction d1 — a
+            # guaranteed-feasible strict-descent truncation whose bd1 plane
+            # is already accumulated, so no correction pass of any kind.
+            d_cg = jnp.where(fixed, 0.0, cg["d"])
+            viol = jnp.any((x <= 0.0) & (d_cg < 0.0), axis=1)
+            gtd_cg = jnp.sum(g * d_cg, axis=1)
+            dn_cg = jnp.sum(d_cg * d_cg, axis=1)
+            bad = (~jnp.isfinite(gtd_cg)) | (gtd_cg >= 0.0) | (dn_cg <= 0.0)
+            use_d1 = (viol | bad) & active
+            clipped = viol
+            d = jnp.where(use_d1[:, None], d1, d_cg)
+            bd = bd_fns["select"](use_d1, bd1, cg["bd"])
+            gtd = jnp.sum(g * d, axis=1)
+            dnorm = jnp.sum(d * d, axis=1)
+            # rows whose d1 is ALSO degenerate (pgrad ~ 0 or non-finite
+            # curvature data): no valid search direction — skip their line
+            # search; they terminate as LSFAIL exactly like a zero
+            # steepest-descent direction would
+            dead_dir = (~jnp.isfinite(gtd)) | (gtd >= 0.0) | (dnorm <= 0.0)
+            bad = bad | dead_dir
+            d = jnp.where(dead_dir[:, None], 0.0, d)
+            gtd = jnp.where(dead_dir, 0.0, gtd)
+            dnorm = jnp.where(dead_dir, 0.0, dnorm)
+            search_mask = active & ~dead_dir
+        else:
+            d = jnp.where(fixed, 0.0, cg["d"])
+            # Project the direction into the feasible cone: a coordinate AT
+            # the bound whose Newton component points outward cannot move
+            # (the reference pivots it via addConstraint, tnc.c:1072-1108).
+            # Without this, spe=0 collapses the step cap, trials clip that
+            # coordinate, and the measured directional derivative g(trial)@d
+            # (which uses the UNPROJECTED d) makes the strong-Wolfe test
+            # unsatisfiable -> bogus LSFAIL with a large gradient (found via
+            # the factors_single golden parity test: rows stopped at obj
+            # 120.67 vs the true optimum 119.13).
+            clipped = jnp.any((x <= 0.0) & (d < 0.0), axis=1)
+            d = jnp.where((x <= 0.0) & (d < 0.0), 0.0, d)
+
+            # fall back to steepest descent if CG returned junk or ascent
+            gtd = jnp.sum(g * d, axis=1)
+            dnorm = jnp.sum(d * d, axis=1)
+            bad = (~jnp.isfinite(gtd)) | (gtd >= 0.0) | (dnorm <= 0.0)
+            d = jnp.where(bad[:, None], -pgrad, d)
+            gtd = jnp.where(bad, -pgnorm * pgnorm, gtd)
+            search_mask = active
 
         nfeval = s["nfeval"] + cg["hvps"]
 
@@ -347,7 +442,8 @@ def _tncg_core(
         )
         a0 = jnp.minimum(a0, spe)
         a0 = jnp.where(jnp.isfinite(a0) & (a0 > 0.0), a0, 1.0)
-        bd = bdot(d)
+        if not track_bd:
+            bd = bdot(d)
         coef = ray_coef_fn(x, d)
         px = s["px"]
 
@@ -408,7 +504,7 @@ def _tncg_core(
             f_best=f,
             reltol=reltol0.astype(dtype),
             abstol=abstol0.astype(dtype),
-            searching=active,
+            searching=search_mask,
             nfeval=nfeval,
             t=jnp.zeros((), dtype=jnp.int32),
             # diagnostics: rows still searching / bracketed at each LS
@@ -715,7 +811,7 @@ def _tncg_core(
         # line-search trial, and fgh_weight for the f/g/Hessian refresh at
         # the accepted point
         passes = (
-            s["passes"] + cg["i"].astype(jnp.float32)
+            s["passes"] + cg["i"].astype(jnp.float32) * (1.0 + hvp_extra)
             + ls["t"].astype(jnp.float32) * trial_frac
             + bdot_weight + fgh_weight
         )
@@ -924,7 +1020,7 @@ def tncg_update(
 @functools.partial(
     jax.jit,
     static_argnames=("maxupd", "w_mult", "ftol", "l2_in_f", "max_cg",
-                     "ls_cand"),
+                     "ls_cand", "bd_accum"),
 )
 def _tncg_update_ell_jit(
     A_perm: jnp.ndarray,
@@ -943,6 +1039,7 @@ def _tncg_update_ell_jit(
     l2_in_f: bool = False,
     max_cg: Optional[int] = None,
     ls_cand: int = LS_CAND_DEFAULT,
+    bd_accum: bool = True,
 ):
     """Jitted ELL backend — one compiled program per (ELL shape, maxupd,
     w_mult): init mode, outer cap and row subset are all traced, so the
@@ -1003,6 +1100,30 @@ def _tncg_update_ell_jit(
     fgh_weight = 1.0 + 8.0 / full_b
     bdot_weight = 1.0 + 4.0 / full_b
 
+    # Inner-CG <B,d> accumulation (ROADMAP #0): only pays off under a SMALL
+    # inner-CG cap — each HVP round adds ~16 B/slot (bv write + pd axpy)
+    # vs the ~(k*it + 8) B/slot standalone bdot sweep it replaces, so the
+    # breakeven is ~6 HVP rounds per outer iteration.  The cascade's bulk
+    # rounds (max_cg=3) win ~1 of ~6 sweeps per outer iteration; the final
+    # full-depth rounds (maxCGit = k/2 = 25 at k=50) keep the hoisted bdot.
+    bd_fns = None
+    hvp_extra = 0.0
+    if bd_accum and maxcg <= 6:
+        def hvp_bv_with(w2s):
+            def hvp_bv(V):
+                return ell_ops.hvp_bv_ell(V, planes, ell, w2s, l2_reg)
+
+            return hvp_bv
+
+        bd_fns = dict(
+            hvp_bv_with=hvp_bv_with,
+            zeros=lambda: ell_ops.bd_zeros_ell(ell, A_perm.dtype),
+            axpy=lambda bd, m, bv: ell_ops.bd_axpy_ell(bd, m, bv, ell),
+            select=lambda u, b1, b2: ell_ops.bd_select_ell(u, b1, b2, ell),
+        )
+        hvp_extra = 16.0 / full_b
+        bdot_weight = 12.0 / full_b  # the post-CG per-row plane select
+
     x_final, share, out = _tncg_core(
         x0, has_nnz, ell.n_rows, fgh, f_gtd_ray_multi, hvp_with, bdot,
         ray_coef_fn,
@@ -1012,6 +1133,7 @@ def _tncg_update_ell_jit(
         active_mask=active_mask,
         ftol=ftol, trial_frac=trial_frac, fgh_weight=fgh_weight,
         bdot_weight=bdot_weight, ls_cand=ls_cand, nfeval0=nfeval0,
+        bd_fns=bd_fns, hvp_extra=hvp_extra,
     )
     return x_final, share, _stats_dict(out)
 
@@ -1035,6 +1157,7 @@ def tncg_update_ell(
     max_cg: Optional[int] = None,
     ls_cand: Optional[int] = None,
     nfeval0: Optional[jnp.ndarray] = None,
+    bd_accum: Optional[bool] = None,
 ):
     """One TNCG pass over every (permuted) row, planar-ELL backend.
 
@@ -1045,6 +1168,10 @@ def tncg_update_ell(
     without re-activating rows that already terminated).
     ``track_unchanged`` is kept for API compatibility (the unchanged share
     is now always computed).  ``ls_cand`` as in :func:`tncg_update`.
+    ``bd_accum`` (default ``POISMF_TNCG_BD_ACCUM`` or on): accumulate the
+    line search's ``<B, d>`` plane during inner CG instead of a standalone
+    bdot sweep — engaged only when ``max_cg`` is small (see
+    :func:`_tncg_update_ell_jit`).
     """
     del track_unchanged
     if active_mask is None:
@@ -1058,6 +1185,8 @@ def tncg_update_ell(
         l2_in_f=l2_in_f, max_cg=max_cg,
         ls_cand=max(1, int(ls_cand if ls_cand is not None
                            else _ls_cand_default())),
+        bd_accum=bool(bd_accum if bd_accum is not None
+                      else _bd_accum_default()),
     )
     if return_stats:
         return x_final, share, stats

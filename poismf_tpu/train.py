@@ -199,7 +199,7 @@ def _compact_round(
     carried counts are gathered into the compact layout alongside the
     iterates and the updated counts scattered back (third return value,
     None when not threaded)."""
-    from .solvers.tncg import _tncg_update_ell_jit
+    from .solvers.tncg import _bd_accum_default, _tncg_update_ell_jit
 
     compact, planes_c, x_c, bsum_c = _compact_build(
         x_full, fixed_p, ell, bsum_in, sels, src_cs, slot_map, row_nnz_c,
@@ -214,6 +214,7 @@ def _compact_round(
         jnp.ones((x_c.shape[0],), dtype=bool),
         nfe_c,
         l2_reg=l2_reg, w_mult=w_mult, maxupd=maxupd, max_cg=max_cg,
+        bd_accum=_bd_accum_default(),
     )
     if PASS_STATS is not None:
         it = 2 if dtype_name == "bfloat16" else x_c.dtype.itemsize
